@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a ``noop``-format write — full execution of the
+physical plan (scan → shuffle → agg) with zero sink cost, so the number is
+the engine's throughput, not the collector's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_ml_spark.registry import collect  # noqa: E402
+from spark_ml_spark.session import get_spark  # noqa: E402
+
+#: headline set: every operator family, weighted toward the shuffle-heavy
+#: plans that dominate at 100 TB (star join, pivot, window, dedup, LSH).
+HEADLINE = (
+    "q_flagship",
+    "q_star_join",
+    "q_groupby_agg",
+    "q_pivot",
+    "q_window_rank",
+    "q_tumbling_window",
+    "q_count_distinct",
+    "q_exact_dedup",
+    "q_minhash_neardup",
+    "q_simhash_buckets",
+    "q_text_stats",
+    "q_token_count",
+    "q_cosine_topk",
+    "q_sessionize",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    queries, _ = collect()
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Sources and sinks.
+
+Reference surface (SURVEY.md §2.1): CSV line scan with a hand-rolled
+quote-aware splitter and positional header drop (``Data_transform.py:32,36,
+44-57,59``). Spark-native replacement: ``spark.read.csv`` with
+``header=True`` — quote handling, header removal, and typed casts are all
+built in; Catalyst pushes projection into the scan; no extra
+``zipWithIndex`` counting job.
+
+Parquet (the driver's test tables and the only sane format at 100 TB) is
+self-describing columnar with predicate pushdown, column pruning, and
+row-group skipping — the default source here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: every table the driver provides (TESTDATA.md)
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+#: columns stored as TIMESTAMP(NANOS) in the driver's parquet — Spark has
+#: no nanosecond timestamp type, so these are read as long (via the
+#: ``nanosAsLong`` legacy conf) and truncated to microseconds, exactly what
+#: DuckDB's TIMESTAMP does with nanosecond input.
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one test table. Parquet is self-describing, so no
+    inference job is needed; filters/projections placed on the result are
+    pushed into the scan by Catalyst (check ``PushedFilters`` in
+    ``.explain``)."""
+    nano_cols = _NANO_TS_COLUMNS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer nanos→micros division (a double intermediate would
+            # lose precision above 2^53 ns)
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+            )
+    return df
+
+
+#: explicit schema-on-read for the CSV round-trip (SURVEY.md §1.2: the new
+#: engine declares types instead of inferring; an inferSchema pass over
+#: 100 TB of CSV would be a full extra read of the data).
+DOCUMENTS_CSV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+#: repo-local scratch dir (gitignored) — the build contract forbids writes
+#: outside the repo tree.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+)
+
+
+def documents_csv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``documents`` as CSV once per sf_dir (repo-local cache)
+    so the CSV scan path (reference ``Data_transform.py:32``) can be
+    exercised — all driver tables are parquet, the reference's source
+    format is CSV (FIXTURES.md §B4)."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(_CACHE_DIR, f"documents_csv_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (load(spark, sf_dir, "documents")
+         .write.mode("overwrite")
+         .option("header", True)
+         .csv(out))
+    return out
+
+
+def read_documents_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-aware CSV scan with declared schema (replaces the reference's
+    ``arreglaComas`` state machine, ``Data_transform.py:44-57`` — Spark's
+    reader preserves quoted commas instead of mutating them, SURVEY §1.3.1)."""
+    path = documents_csv_path(spark, sf_dir)
+    return (spark.read
+            .schema(DOCUMENTS_CSV_SCHEMA)
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", "\\")
+            .csv(path))

@@ -1,0 +1,176 @@
+"""Deduplication operators over the ``documents`` table (north-star N1/N2,
+SURVEY.md §2.12) — the LLM-training-pipeline surface.
+
+Scale design:
+- exact dedup: hash group-by on a 256-bit content digest — shuffles 32-byte
+  keys, never full documents; at 100 TB the digest group-by is the only
+  shuffle and partial aggregation bounds state.
+- MinHash LSH: shingle → MinHash signature → banded bucket join — turns the
+  O(n²) pairwise comparison into an equi-join on bucket keys (only
+  candidate pairs in the same band collide), the standard near-dup design
+  for web-scale corpora.
+- SimHash: 64-bit sign-aggregated token hash; near-dups share band
+  prefixes → again an equi-join, no cross join.
+- n-gram Jaccard: exact verification on candidate pairs (blocked by a
+  cheap key so the pair space stays bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.functions.text import char_ngrams, ws_tokens
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+@query("q_exact_dedup", oracle="""
+SELECT min(doc_id)  AS keep_id,
+       count(*)     AS n_copies,
+       min(n_chars) AS n_chars
+FROM documents
+GROUP BY md5(text)
+""")
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: exact dedup via content-hash group-by, keeping the lowest
+    doc_id per content group. MD5 is computed identically by both engines,
+    so the oracle groups on the same digests. At scale: the shuffle key is
+    the 128-bit digest, not the document text."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("keep_id", "n_copies", "n_chars")
+    )
+
+
+@query("q_minhash_neardup")  # rows-only: MinHash signatures are engine-specific
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: MinHash + LSH near-duplicate candidate pairs.
+
+    shingle (3-gram set) → HashingTF sparse vector → MinHashLSH
+    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.5. Seeded, so results
+    are reproducible run-to-run; not SQL-expressible → rows-only check
+    (the exact-Jaccard twin ``q_ngram_jaccard`` is oracle-checked).
+    The LSH join is an equi-join on banded hash buckets — no O(n²) pair
+    enumeration at any scale.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", char_ngrams("text", 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs).select("doc_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+    return pairs
+
+
+@query("q_simhash_buckets")  # rows-only: hash function is engine-specific
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 variant: 64-bit SimHash fingerprints, entirely in built-in
+    expressions (xxhash64 per token, per-bit sign aggregation via
+    higher-order functions — zero Python). Documents are then grouped by
+    the 16-bit band prefixes; bucket sizes > 1 are near-dup candidates.
+    At scale: 4 band columns → 4 cheap group-bys, no pairwise work."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    hashed = docs.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes")
+    )
+    # simhash bit b = 1 iff the sum over tokens of sign(bit b of hash) is
+    # positive; the whole 64-bit fold is one nested higher-order
+    # expression — JVM-side, no Python, no explode
+    sim = hashed.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + "
+            " IF(aggregate(hashes, 0L,"
+            "      (a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,"
+            "    shiftleft(1L, b), 0L))"
+        ).alias("simhash"),
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    # candidate groups: any band shared by >1 doc
+    candidates = None
+    for i in range(4):
+        g = (
+            bands.groupBy(f"band{i}")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+            .filter(F.col("n_docs") > 1)
+            .select(
+                F.lit(i).alias("band"),
+                F.col(f"band{i}").alias("band_value"),
+                "n_docs",
+                "min_doc",
+            )
+        )
+        candidates = g if candidates is None else candidates.unionByName(g)
+    return candidates
+
+
+@query("q_ngram_jaccard", oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_cat(a.g, b.g))), 4) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / len(list_distinct(list_cat(a.g, b.g))) >= 0.8
+""")
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 exact twin: character-3-gram Jaccard similarity ≥ 0.8 on pairs
+    blocked by ``lang``. Set algebra runs JVM-side (array_intersect /
+    array_union on row-local shingle sets — no explode shuffle). The lang
+    block bounds the pair space; at 100 TB the block key would be an LSH
+    band (q_minhash_neardup) instead."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", char_ngrams("text", 3).alias("g")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.g"), F.col("b.g"))).cast("double") / F.size(
+        F.array_union(F.col("a.g"), F.col("b.g"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)  # filter on the RAW ratio (exact int/int double,
+        # identical in both engines) — filtering post-round would disagree
+        # with the oracle at the rounding boundary
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

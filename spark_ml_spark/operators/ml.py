@@ -1,0 +1,201 @@
+"""Reference-parity ML pipeline (SURVEY.md §2.10, milestone 2).
+
+The reference's signature computation (``Data_transform.py:87-179``): per
+dive site, scatter per-family counts into a fixed-vocabulary vector,
+L1-normalize, append the (leaky) latitude feature, then fit RandomForest /
+GBT regressors and report RMSE.
+
+Transplanted onto the driver's star schema: *sites → customers*,
+*fish families → part brands* (fixed 25-value vocabulary, mirroring
+``familias.txt``), *counts → summed quantities*, *latitude/longitude →
+c_acctbal*. Feature construction is a declarative pivot (broadcast dim
+join + hash aggregate, no ``groupByKey``), vectorization is
+``VectorAssembler`` + ``Normalizer(p=1)`` inside a ``pyspark.ml.Pipeline``
+(BASELINE.json approach: "MLlib pipelines"), and the split is SEEDED — the
+reference's unseeded split (``Data_transform.py:155``) made its RMSE
+nondeterministic (SURVEY §1.3.6).
+
+The target-leakage quirk (``Data_transform.py:117`` appends the latitude
+label to the features; SURVEY §1.3.4) is reproduced behind the
+``include_label_feature`` flag — it is load-bearing for the reference's
+published RMSE(lat) ≪ RMSE(lon) signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import Normalizer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+#: fixed feature vocabulary (the ``familias.txt`` analogue) — passed
+#: explicitly to pivot() so no distinct scan runs and column order is
+#: deterministic (reference: ``Data_transform.py:82,91``).
+BRANDS = tuple(f"Brand#{i}" for i in range(1, 26))
+_BCOL = {b: f"b{i}" for i, b in enumerate(BRANDS, start=1)}
+
+SEED = 42
+
+
+def build_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer brand-quantity pivot + label — the analytical table
+    (reference's ``rddVectors``, ``Data_transform.py:99-122``) as one
+    Catalyst plan: pruned scans → broadcast dim join → pivot hash-agg."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    piv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey")
+        .pivot("p_brand", list(BRANDS))
+        .agg(F.sum("l_quantity"))
+        .na.fill(0.0, list(BRANDS))
+    )
+    renamed = piv.select(
+        "o_custkey", *[F.col(f"`{b}`").alias(_BCOL[b]) for b in BRANDS]
+    )
+    return renamed.join(c, renamed.o_custkey == c.c_custkey).drop("c_custkey")
+
+
+def _ml_features_oracle() -> str:
+    """Generated oracle SQL for q_ml_features: 25 conditional sums +
+    row-wise L1 normalization, matching the pivot column-for-column."""
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN p_brand = '{b}' THEN l_quantity ELSE 0 END) AS {_BCOL[b]}"
+        for b in BRANDS
+    )
+    tot = " + ".join(_BCOL[b] for b in BRANDS)
+    fracs = ",\n       ".join(
+        f"ROUND({_BCOL[b]} / NULLIF({tot}, 0), 6) AS frac_{_BCOL[b]}" for b in BRANDS
+    )
+    return f"""
+WITH piv AS (
+  SELECT o_custkey,
+         {sums}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey  = p_partkey
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+       {fracs},
+       ROUND(c_acctbal, 2) AS label
+FROM piv JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("q_ml_features", oracle=_ml_features_oracle())
+def q_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (feature vectorization), SQL-checkable half: the pivot +
+    L1-normalize stages as plain columns (SURVEY §7 risk 1: VectorUDT is
+    not DuckDB-representable, so vectors are assembled only at the ML
+    boundary)."""
+    ft = build_feature_table(spark, sf_dir)
+    total = F.nullif(
+        sum(F.col(_BCOL[b]) for b in BRANDS).cast("double"), F.lit(0.0)
+    )
+    return ft.select(
+        "o_custkey",
+        *[F.round(F.col(_BCOL[b]) / total, 6).alias(f"frac_{_BCOL[b]}") for b in BRANDS],
+        F.round(F.col("c_acctbal"), 2).alias("label"),
+    )
+
+
+def _fit_and_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    algo: str,
+    include_label_feature: bool = False,
+) -> DataFrame:
+    """Pipeline(assemble → L1-normalize → regressor) with a seeded 70/30
+    split and RMSE evaluation (reference: ``Data_transform.py:155-179``).
+
+    ``include_label_feature=True`` reproduces the reference's target
+    leakage (``Data_transform.py:117``) for parity experiments.
+    """
+    ft = build_feature_table(spark, sf_dir).withColumnRenamed("c_acctbal", "label")
+    feature_cols = [_BCOL[b] for b in BRANDS]
+    if include_label_feature:
+        feature_cols = feature_cols + ["label"]
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="raw_features")
+    normalizer = Normalizer(inputCol="raw_features", outputCol="features", p=1.0)
+    if algo == "rf":
+        reg = RandomForestRegressor(
+            featuresCol="features", labelCol="label", seed=SEED
+        )
+    elif algo == "gbt":
+        reg = GBTRegressor(featuresCol="features", labelCol="label", seed=SEED)
+    else:
+        raise ValueError(algo)
+    pipe = Pipeline(stages=[assembler, normalizer, reg])
+
+    # reference splits unseeded (Data_transform.py:155) — we seed for
+    # testability (SURVEY §1.3.6). Cache: both fit and eval traverse it.
+    train, test = ft.randomSplit([0.7, 0.3], seed=SEED)
+    train = train.cache()
+    model = pipe.fit(train)
+    predictions = model.transform(test)
+    rmse = RegressionEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="rmse"
+    ).evaluate(predictions)
+    train.unpersist()
+    return spark.createDataFrame(
+        [(algo, "c_acctbal", float(rmse), train.count(), predictions.count())],
+        "algo string, label string, rmse double, n_train long, n_test long",
+    )
+
+
+@query("q_rf_regression")  # rows-only: tree ensembles are not SQL-expressible
+def q_rf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: RandomForestRegressor fit/eval (reference
+    ``Data_transform.py:158-166``)."""
+    return _fit_and_eval(spark, sf_dir, "rf")
+
+
+@query("q_gbt_regression")  # rows-only
+def q_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: GBTRegressor fit/eval (reference ``Data_transform.py:168-179``)."""
+    return _fit_and_eval(spark, sf_dir, "gbt")
+
+
+@query("q_random_split")  # rows-only: Bernoulli sampling is engine-specific
+def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: seeded 70/30 random split; returns per-split row counts
+    (reference: ``Data_transform.py:155-157``)."""
+    ft = build_feature_table(spark, sf_dir)
+    train, test = ft.randomSplit([0.7, 0.3], seed=SEED)
+    return spark.createDataFrame(
+        [("train", train.count()), ("test", test.count())],
+        "split string, n_rows long",
+    )
+
+
+@query("q_rmse", oracle="""
+SELECT 'mean_predictor' AS model,
+       ROUND(sqrt(avg((value - m) * (value - m))), 4) AS rmse
+FROM events, (SELECT avg(value) AS m FROM events)
+""")
+def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: the RMSE evaluator's formula (``sqrt(mean((pred-label)²))``,
+    reference ``Data_transform.py:163-166``) is itself SQL-expressible —
+    checked here against a mean-predictor baseline over events.value."""
+    ev = load(spark, sf_dir, "events")
+    mean_df = ev.agg(F.avg("value").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(mean_df))
+        .agg(
+            F.round(
+                F.sqrt(F.avg((F.col("value") - F.col("m")) * (F.col("value") - F.col("m")))),
+                4,
+            ).alias("rmse")
+        )
+        .select(F.lit("mean_predictor").alias("model"), "rmse")
+    )

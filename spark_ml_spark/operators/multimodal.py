@@ -1,0 +1,111 @@
+"""Multimodal column handling (north-star N5, SURVEY.md §2.12).
+
+Policy: media payloads are opaque ``binary`` columns with a typed metadata
+struct alongside. Decode / feature-extract runs as Arrow-batched
+``mapInPandas`` — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real; the actual image decode is a
+clearly-marked deterministic STUB because no image/audio codec libraries
+ship in this container (per the task brief).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+@query("q_multimodal_meta", oracle="""
+SELECT doc_id,
+       octet_length(encode(text))  AS n_bytes,
+       sha256(text)                AS content_sha256,
+       lang                        AS meta_lang,
+       source                      AS meta_source
+FROM documents
+""")
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (SQL-checkable half): build the opaque-binary + typed-metadata
+    representation — payload as ``binary`` (UTF-8 bytes here; an image
+    blob in production), byte length and SHA-256 content address computed
+    JVM-side. Both engines hash the identical byte sequences."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        meta.alias("meta"),
+    ).select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("content_sha256"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+    )
+
+
+#: output schema of the fake decoder — what a real image decode stage
+#: would produce (dimensions + channel statistics + a thumbnail-sized
+#: feature vector).
+_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes int, mean_byte double, "
+    "feature array<double>"
+)
+
+
+def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode kernel (deterministic fake).
+
+    A real implementation would decode image bytes (PIL/libjpeg) /
+    audio (ffmpeg) here — those libraries are not in this container, so
+    this derives deterministic pseudo-features from the raw bytes. The
+    Arrow batch plumbing (iterator of pandas DataFrames in/out, columnar
+    transfer, per-partition execution) is exactly what production uses.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                # fake dimensions derived from content length — stands in
+                # for parsed image headers
+                "width": (n_bytes % 640 + 1).astype("int32"),
+                "height": (n_bytes // 640 + 1).astype("int32"),
+                "n_bytes": n_bytes.astype("int32"),
+                "mean_byte": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ),
+                # 4-dim fake feature: byte-value histogram quartile masses
+                "feature": payloads.map(
+                    lambda b: [
+                        float(sum(1 for x in b if lo <= x < hi)) / max(len(b), 1)
+                        for lo, hi in ((0, 64), (64, 128), (128, 192), (192, 256))
+                    ]
+                ),
+            }
+        )
+        yield out
+
+
+@query("q_media_decode")  # rows-only: the decode kernel is a local stub
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 decode/feature-extract stage over opaque binary payloads via
+    ``mapInPandas`` (Arrow-batched, per-partition — the 100 TB shape: no
+    shuffle, pure map over the payload column; executor parallelism does
+    the scaling). Decode kernel is a deterministic STUB (see
+    ``_fake_decode_batches``)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)

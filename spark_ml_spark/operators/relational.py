@@ -1,0 +1,716 @@
+"""Relational operator suite (SURVEY.md §2.1-§2.9).
+
+Every dataflow operator the reference executes — scan, project, filter,
+cast, dimension join, group/pivot aggregation, L1 normalization, distinct
+counts, describe-stats, limit — re-expressed as declarative DataFrame plans,
+plus the general relational surface (star joins, anti/semi joins, set ops,
+windows, sessionization, rollup/cube, JSON/date functions) the 100 TB
+north-star requires.
+
+Scale notes apply throughout:
+- filters/projections sit directly on parquet scans → Catalyst pushes them
+  into the reader (``PushedFilters`` / ``ReadSchema`` in ``.explain``);
+- dimension joins broadcast (no shuffle of the fact table);
+- aggregations are hash aggregates with map-side partial reduction — never
+  ``groupByKey``-style full-value shuffles (the reference's OOM hazard at
+  ``Data_transform.py:100``);
+- every float output is rounded in BOTH engines so the oracle value-hash
+  compares stably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load, read_documents_csv
+from spark_ml_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Sources / scans (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+
+@query("q_csv_scan", oracle="""
+SELECT lang,
+       count(*)                          AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)      AS sum_chars,
+       ROUND(avg(length(text)), 4)       AS avg_text_len
+FROM documents
+GROUP BY lang
+""")
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S4: quote-aware CSV scan with header + declared schema.
+
+    Replaces the reference's hand-rolled line parser (``Data_transform.py:
+    32,36,44-57,59``: textFile → zipWithIndex header drop → arreglaComas
+    quote fix → split). The round-trip (parquet → CSV → scan → aggregate)
+    proves lossless parsing; the oracle reads the original table.
+    """
+    docs = read_documents_csv(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / casts (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+@query("q_project", oracle="""
+SELECT l_orderkey AS order_key, l_linenumber AS line_no, l_quantity AS qty
+FROM lineitem
+""")
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4: column projection + rename (reference does this positionally
+    in Python, ``Data_transform.py:68-76``). Catalyst prunes the parquet
+    scan to exactly these columns (check ReadSchema)."""
+    return load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@query("q_filter_predicate", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_quantity > 25 AND l_returnflag = 'A' AND l_shipdate IS NOT NULL
+""")
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: predicate filter (reference: ``Data_transform.py:59``). The
+    conjunction is pushed into the parquet scan (PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 25)
+        & (F.col("l_returnflag") == "A")
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query("q_cast", oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) AS key_as_double,
+       CAST(FLOOR(o_totalprice) AS BIGINT)         AS price_floor
+FROM orders
+""")
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: scalar casts (reference: ``float(x[0])`` at
+    ``Data_transform.py:115-116``). Explicit ``floor`` before the integral
+    cast — engines disagree on double→int rounding, so the plan says what
+    it means."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").cast("double").alias("key_as_double"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+    )
+
+
+@query("q_scalar_funcs", oracle="""
+SELECT c_custkey,
+       upper(c_mktsegment)                          AS seg_upper,
+       string_split(c_name, '#')[1]                 AS name_prefix,
+       regexp_replace(c_name, '[0-9]', '', 'g')     AS name_nodigits,
+       CAST(length(c_name) AS INT)                  AS name_len,
+       concat_ws('-', c_mktsegment, c_name)         AS seg_name
+FROM customer
+""")
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5: string scalar functions (reference: split/strip/float at
+    ``Data_transform.py:36,75,82,115-116``) — all JVM-side codegen."""
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+        F.regexp_replace("c_name", "[0-9]", "").alias("name_nodigits"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@query("q_count", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global count (reference: ``rddFilas.count()`` at
+    ``Data_transform.py:63``). Parquet row-group metadata makes this a
+    metadata-only scan."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("q_groupby_agg", oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2)                                        AS sum_qty,
+       ROUND(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(avg(l_quantity), 4)                                        AS avg_qty,
+       ROUND(avg(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A7: TPC-H Q1-shaped multi-aggregate group-by (generalizes the
+    reference's groupByKey at ``Data_transform.py:99-100`` into a hash
+    aggregate with map-side partial reduction — bounded state, no
+    full-value shuffle)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query("q_having", oracle="""
+SELECT o_custkey, count(*) AS n_orders, ROUND(sum(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""")
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: post-aggregation filter (HAVING)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query("q_count_distinct", oracle="""
+SELECT count(DISTINCT l_orderkey)   AS n_orders,
+       count(DISTINCT l_partkey)    AS n_parts,
+       count(DISTINCT l_suppkey)    AS n_supps,
+       count(DISTINCT l_returnflag) AS n_flags
+FROM lineitem
+""")
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact distinct counts, all four in ONE pass — the reference
+    re-reads the CSV per column (``Data_transform.py:134-150``, ≥4 jobs)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@query("q_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 scale path: HyperLogLog++ distinct counts — the 100 TB-safe
+    sibling of q_count_distinct (bounded sketch state instead of an exact
+    distinct shuffle)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@query("q_describe_stats", oracle="""
+SELECT count(l_quantity)                      AS cnt,
+       ROUND(avg(l_quantity), 4)              AS mean_qty,
+       ROUND(stddev_samp(l_quantity), 4)      AS std_qty,
+       min(l_quantity)                        AS min_qty,
+       max(l_quantity)                        AS max_qty,
+       ROUND(avg(l_extendedprice), 4)         AS mean_price,
+       ROUND(stddev_samp(l_extendedprice), 4) AS std_price
+FROM lineitem
+""")
+def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: column profiling — the SQL-expressible form of ``df.describe()``
+    (reference: ``Data_transform.py:140``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("cnt"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+@query("q_pivot", oracle="""
+SELECT l_returnflag,
+       ROUND(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       ROUND(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: pivot with an EXPLICIT value list — the reference fixes its
+    pivot dimensions via ``familias.txt`` (``Data_transform.py:82,87-95``);
+    passing the values to ``pivot()`` likewise avoids an extra distinct
+    scan and nondeterministic column order."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query("q_l1_normalize", oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity / NULLIF(sum(l_quantity) OVER (PARTITION BY l_orderkey), 0), 6)
+         AS qty_frac
+FROM lineitem
+""")
+def q_l1_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: L1 row-group normalization with zero-guard — the reference's
+    ``toVector`` divide-by-sum (``Data_transform.py:92-95``) as a window
+    expression (SURVEY §2.5)."""
+    w = W.partitionBy("l_orderkey")
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_quantity") / F.nullif(F.sum("l_quantity").over(w), F.lit(0.0)), 6
+        ).alias("qty_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@query("q_semi_join", oracle="""
+SELECT l_returnflag, count(*) AS n_items, ROUND(sum(l_quantity), 2) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""")
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J1: left-semi join — the reference's drop-unknown-families
+    membership test (``if f in familias``, ``Data_transform.py:90``) as a
+    hash semi-join instead of an O(vocab) per-row linear scan."""
+    li = load(spark, sf_dir, "lineitem")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query("q_dim_broadcast_join", oracle="""
+SELECT p_brand, count(*) AS n_items, ROUND(sum(l_quantity), 2) AS brand_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def q_dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S5: fact ⋈ broadcast(dimension) — the reference's closure-captured
+    ``familias`` list (``Data_transform.py:82,90-91``) becomes an explicit
+    broadcast hash join: the dim ships to every executor once; the 100 TB
+    fact table never shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("brand_qty"),
+        )
+    )
+
+
+@query("q_star_join", oracle="""
+SELECT r_name, n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT c_custkey)                         AS n_customers
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""")
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 5-way star join. Dims (nation, region, customer) broadcast; the
+    only shuffle is lineitem⋈orders (AQE may broadcast orders too at small
+    SF). At 100 TB: bucket lineitem+orders on orderkey to make that join
+    co-located."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query("q_anti_join", oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""")
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti join (NOT EXISTS) — customers with no urgent orders."""
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@query("q_union", oracle="""
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+""")
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by name across two entity tables."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@query("q_intersect", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers and
+    suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query("q_except", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+@query("q_limit", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5
+""")
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: deterministic limit (sorted on the unique key so the selected
+    SET is engine-independent; reference: ``take(1)``/``show(n)``)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query("q_topk", oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k — Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge; no global sort, scales to any partition count)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions / sessionization (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+@query("q_window_rank", oracle="""
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       lag(value, 1)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+""")
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lag windows over the events stream table."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+    )
+
+
+@query("q_window_running", oracle="""
+SELECT event_id, user_id,
+       ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+""")
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate with an explicit ROWS frame."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@query("q_sessionize", oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+FROM g
+""")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session; session id is
+    the running count of session starts (the standard lag+cumsum pattern —
+    no Python, no state store needed in batch)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_session").over(cum).cast("long").alias("session_id"),
+        )
+    )
+
+
+@query("q_tumbling_window", oracle="""
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       event_type,
+       count(*)               AS n_events,
+       ROUND(sum(value), 4)   AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window as a batch aggregation (SURVEY
+    §2.9). Buckets on epoch seconds — timezone-proof, so the oracle
+    comparison cannot be skewed by session timezone."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation (rollup/cube) + JSON/date scalar surface
+# --------------------------------------------------------------------------
+
+
+@query("q_rollup", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, ROUND(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query("q_cube", oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items, ROUND(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-dimensional subtotals (CUBE)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query("q_json_extract", oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""")
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events ``props`` payload
+    (``F.get_json_object`` — JVM-side Jackson, no Python)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@query("q_date_parts", oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)  AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS epoch_day
+FROM orders
+""")
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + timezone-proof epoch-day bucketing."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("epoch_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY §7 milestone 0): the reference's signature computation —
+# scan → project → filter → broadcast dim join → group/pivot agg →
+# L1-normalize → order — transplanted onto the star schema.
+# --------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH j AS (
+  SELECT n_name, l_returnflag, l_quantity
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_quantity > 0
+), p AS (
+  SELECT n_name,
+         sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS qty_a,
+         sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) AS qty_n,
+         sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS qty_r
+  FROM j GROUP BY n_name
+)
+SELECT n_name,
+       ROUND(qty_a / NULLIF(qty_a + qty_n + qty_r, 0), 6) AS frac_a,
+       ROUND(qty_n / NULLIF(qty_a + qty_n + qty_r, 0), 6) AS frac_n,
+       ROUND(qty_r / NULLIF(qty_a + qty_n + qty_r, 0), 6) AS frac_r
+FROM p
+"""
+
+
+@query("q_flagship", oracle=FLAGSHIP_ORACLE)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's shape end-to-end (``Data_transform.py``
+    §§ingest→group→pivot→normalize, lines 32-100): per nation, pivot
+    ``l_returnflag`` over an explicit vocabulary, sum quantities,
+    L1-normalize the row. Exercises S-, P-, J-, A- and O-category operators
+    in one plan: pruned scans, pushed filter, broadcast dim joins, partial
+    hash aggregation, pivot with fixed values."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .filter(F.col("l_quantity") > 0)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    piv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .na.fill(0.0, ["A", "N", "R"])
+    )
+    total = F.nullif(F.col("A") + F.col("N") + F.col("R"), F.lit(0.0))
+    return piv.select(
+        "n_name",
+        F.round(F.col("A") / total, 6).alias("frac_a"),
+        F.round(F.col("N") / total, 6).alias("frac_n"),
+        F.round(F.col("R") / total, 6).alias("frac_r"),
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over the ``embeddings`` table (north-star N3,
+SURVEY.md §2.12).
+
+Two paths, mirroring how a 100 TB pipeline would tier them:
+- brute-force cosine top-k (exact baseline): broadcast the query vector(s),
+  one scan, TakeOrderedAndProject — correct at any scale when k and the
+  query set are small;
+- LSH-bucketed (approximate scale path): BucketedRandomProjectionLSH
+  turns all-pairs similarity into an equi-join on hash buckets.
+
+All exact math is built-in higher-order functions over ``array<double>``
+(JVM-side, codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.functions.vector import cosine, to_double_array
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+#: cosine dot/norm expressed the same way in the DuckDB oracle (manual
+#: double-precision formula — list_cosine_similarity may use float math).
+_ORACLE_COS = """
+list_sum(list_transform(list_zip({a}, {b}),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ NULLIF(
+    sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+  * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+"""
+
+
+@query("q_cosine_topk", oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       ROUND({_ORACLE_COS.format(a="e.embedding", b="q.qe")}, 4) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 exact baseline: top-10 nearest neighbours of vec_id=0 by cosine.
+
+    The single-row query vector is broadcast (no shuffle); the scan +
+    per-row dot product + TakeOrderedAndProject top-k is one distributed
+    pass — the shape that still works when `embeddings` is 100 TB."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@query("q_embedding_neardup", oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_ORACLE_COS.format(a="a.embedding", b="b.embedding")}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_ORACLE_COS.format(a="a.embedding", b="b.embedding")} >= 0.4
+""")
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/N2 hybrid: embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
+
+    Exact all-pairs formulation for oracle checkability at test SF; the
+    100 TB path is ``q_brp_lsh_neighbors`` (bucketed join instead of the
+    quadratic pair space)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)  # raw-value filter: identical doubles both engines
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@query("q_brp_lsh_neighbors")  # rows-only: LSH buckets are engine-specific
+def q_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path: BucketedRandomProjectionLSH approximate neighbour
+    join on euclidean distance — candidate pairs come from an equi-join on
+    hash buckets, never a cross join. Seeded for reproducibility."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(emb)
+    return (
+        model.approxSimilarityJoin(emb, emb, 5.0, distCol="l2_dist")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("l2_dist", 4).alias("l2_dist"),
+        )
+    )

@@ -1,0 +1,185 @@
+"""Text analysis over the ``documents`` table (north-star N4,
+SURVEY.md §2.12): language-ID heuristic, quality scoring, token counting,
+document fingerprinting — all built-in expressions (split / filter /
+regexp / hash), zero Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.functions.text import PUNCT_CLASS, STOPWORDS, ws_tokens
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+def _sw_list_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+@query("q_text_stats", oracle=f"""
+WITH t AS (
+  SELECT lang, n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT lang,
+       count(*)                                   AS n_docs,
+       ROUND(avg(n_chars), 4)                     AS avg_chars,
+       CAST(sum(len(toks)) AS BIGINT)             AS total_tokens,
+       ROUND(avg(CAST(len(list_filter(toks, x -> x IN ({_sw_list_sql('en')}))) AS DOUBLE)
+                 / NULLIF(len(toks), 0)), 6)      AS avg_stopword_ratio
+FROM t
+GROUP BY lang
+""")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: per-language corpus statistics — doc counts, length, token
+    totals, stopword density. One scan, one hash aggregate."""
+    toks = ws_tokens("text")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_toks"),
+        (sw.cast("double") / F.nullif(F.size(toks), F.lit(0))).alias("sw_ratio"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg("sw_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+@query("q_token_count", oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)    AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+            AS INT)                                                  AS bpe_ish_tokens
+FROM documents
+""")
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: token counting two ways — whitespace tokens and a BPE-ish
+    lexer regex (letter runs | digit runs | single other symbol), the
+    standard pre-tokenizer shape."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws_tokens("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN ({_sw_list_sql(lang)}))) AS hits_{lang}"
+        for lang in ("en", "es", "de", "fr")
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM t
+)
+SELECT doc_id, lang AS actual_lang,
+       CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+            WHEN hits_de >= hits_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM h
+"""
+
+
+@query("q_lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: stopword-vote language identification (n-gram-heuristic
+    family). Deterministic, dictionary-driven, expressible in both
+    engines; ties break by a fixed language priority."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", toks.alias("toks"))
+
+    def hits(words: tuple[str, ...]):
+        # NB: plain closure — a lambda default arg would be introspected by
+        # PySpark as a second lambda parameter
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*words)))
+
+    for lang in ("en", "es", "de", "fr"):
+        d = d.withColumn(f"hits_{lang}", hits(STOPWORDS[lang]))
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_fr")),
+            "en",
+        )
+        .when(
+            (F.col("hits_es") >= F.col("hits_de"))
+            & (F.col("hits_es") >= F.col("hits_fr")),
+            "es",
+        )
+        .when(F.col("hits_de") >= F.col("hits_fr"), "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
+    )
+
+
+@query("q_quality_score", oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         regexp_split_to_array(trim(text), '\\s+')                       AS toks,
+         length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT)                                        AS n_tokens,
+       ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0), 6)        AS punct_ratio,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ({_sw_list_sql('en')}))) AS DOUBLE)
+             / NULLIF(len(toks), 0), 6)                              AS stopword_ratio,
+       CASE WHEN len(toks) >= 20
+             AND CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) < 0.1
+            THEN 1 ELSE 0 END                                        AS keep_flag
+FROM t
+""")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: document quality scoring (length / punctuation / stopword
+    ratios + a keep/drop gate) — the C4-style heuristic filter shape."""
+    toks = ws_tokens("text")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", PUNCT_CLASS, "")
+    )
+    punct_ratio = n_punct.cast("double") / F.nullif(F.col("n_chars"), F.lit(0))
+    sw_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("double") / F.nullif(F.size(toks), F.lit(0))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.when((F.size(toks) >= 20) & (punct_ratio < 0.1), 1)
+        .otherwise(0)
+        .alias("keep_flag"),
+    )
+
+
+@query("q_doc_fingerprint", oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: content fingerprinting — digest of whitespace-normalized,
+    case-folded text (MD5 computes identically in both engines). The
+    rolling-hash/winnowing variant is ``q_simhash_buckets`` (rows-only,
+    engine-specific hash)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )

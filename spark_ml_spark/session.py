@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hardcodes ``local[2]`` / 4 GB / 64 min-partitions
+(``Data_transform.py:19-21,32``). Here the session is configured for
+Catalyst + AQE: adaptive shuffle-partition coalescing, skew-join handling,
+broadcast-join autodetection, and Arrow for any Python-side batch exchange.
+On a real cluster only ``master`` and memory sizing change — the query code
+is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark_ml_spark", cpus: str | int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then ``os.cpu_count()``.
+    ``spark.sql.shuffle.partitions`` defaults to the core count — the
+    right size for local mode; on a cluster AQE coalescing makes the
+    initial number mostly irrelevant.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 4)
+    cpus = str(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

