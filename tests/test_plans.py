@@ -1,0 +1,87 @@
+"""Physical-plan assertions (scale posture, SURVEY.md §4).
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one that survives 100 TB: filters pushed into the parquet scan, column
+pruning in ReadSchema, dimension joins broadcast, no cartesian products,
+and no row-at-a-time Python UDFs anywhere in the registered surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ml_spark.registry import collect
+
+QUERIES, _ = collect()
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "q_filter_predicate", sf_dir)
+    assert "GreaterThan(l_quantity,25.0)" in plan
+    assert "EqualTo(l_returnflag,A)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q_project", sf_dir)
+    # the scan must read exactly the three projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, "q_dim_broadcast_join", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "q_star_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_scans_are_pruned(spark, sf_dir):
+    plan = plan_of(spark, "q_flagship", sf_dir)
+    # lineitem scan: filter pushed, only 3 columns read
+    assert "GreaterThan(l_quantity,0.0)" in plan
+    assert "struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q_topk", sf_dir)
+    # top-k must be per-partition heap + merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_flagship", "q_star_join", "q_groupby_agg", "q_pivot",
+        "q_exact_dedup", "q_text_stats", "q_token_count", "q_lang_id",
+        "q_quality_score", "q_doc_fingerprint", "q_simhash_buckets",
+        "q_ngram_jaccard", "q_cosine_topk", "q_embedding_neardup",
+        "q_sessionize", "q_tumbling_window", "q_window_rank",
+    ],
+)
+def test_no_python_row_udfs(spark, sf_dir, name):
+    """Policy (SURVEY §2.11): no row-at-a-time Python in the data path.
+    BatchEvalPython = pickled row UDF; ArrowEvalPython is the allowed
+    vectorized escape hatch (only q_media_decode uses mapInPandas)."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+
+
+def test_groupby_is_partial_agg(spark, sf_dir):
+    """The reference's groupByKey ships every value (OOM at scale); ours
+    must be a two-phase hash aggregate."""
+    plan = plan_of(spark, "q_groupby_agg", sf_dir)
+    assert plan.count("HashAggregate") >= 2
