@@ -88,6 +88,109 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF coarse-quantizer parameters: K cells, probe the P nearest cells.
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+
+@query("q_ivf_topk", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+), assign AS (      -- coarse quantization: nearest centroid per vector
+  SELECT vec_id, label, embedding, cell_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.embedding, c.ce),
+                      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                      c.cell_id) AS rn
+    FROM embeddings e, cent c)
+  WHERE rn = 1
+), probed AS (      -- the query (vec_id=0) probes its {_IVF_NPROBE} nearest cells
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           row_number() OVER (
+             ORDER BY list_sum(list_transform(list_zip(q.embedding, c.ce),
+                      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                      c.cell_id) AS rn
+    FROM cent c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+  WHERE rn <= {_IVF_NPROBE}
+)
+SELECT a.vec_id, a.label,
+       ROUND({{cos}}, 4) AS cos_sim
+FROM assign a
+JOIN probed p ON a.cell_id = p.cell_id,
+     (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+""".format(cos=_ORACLE_COS.format(a="a.embedding", b="q.qe")))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path: IVF (inverted-file) approximate nearest neighbour.
+
+    Coarse quantizer: a deterministic centroid set (the first ``_IVF_K``
+    vectors — in production, seeded KMeans centroids); every vector is
+    assigned to its nearest cell once (broadcast centroids, one scan, no
+    shuffle of the embedding table). A query probes only its
+    ``_IVF_NPROBE`` nearest cells, so search cost drops from O(N) to
+    O(N * nprobe / K). Deterministic quantizer → fully oracle-checkable,
+    unlike the LSH path (``q_brp_lsh_neighbors``).
+
+    At 100 TB the assignment table is written once, partitioned BY cell_id
+    (partition pruning turns a query into a read of nprobe partitions)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql import Window as W
+
+    # assign: nearest centroid per vector (broadcast K centroids — the
+    # embedding table itself never shuffles for quantization)
+    w_assign = W.partitionBy("vec_id").orderBy(l2sq(F.col("emb"), F.col("ce")), "cell_id")
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "emb", "cell_id")
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    # probe list: the query's nprobe nearest cells (K rows total — driver-ish
+    # sized work, still expressed as a plan)
+    w_probe = W.orderBy(l2sq(F.col("qe"), F.col("ce")), "cell_id")
+    probed = (
+        cent.crossJoin(F.broadcast(qvec))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("cell_id")
+    )
+
+    return (
+        assign.join(F.broadcast(probed), "cell_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query("q_brp_lsh_neighbors")  # rows-only: LSH buckets are engine-specific
 def q_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 scale path: BucketedRandomProjectionLSH approximate neighbour

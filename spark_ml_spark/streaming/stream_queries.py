@@ -95,6 +95,77 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result.collect(), schema=result.schema)
 
 
+@query("q_stream_stateful_sessions", oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+""")
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session counting with a 30-minute inactivity gap, state =
+    (last event time, session count, event count) carried across
+    micro-batches. The batch-equivalent lag+gap formula is the oracle —
+    streaming and batch must agree on a replay of the same data.
+
+    At scale: state is per-user (bounded), partitioned by the group key;
+    the RocksDB state store handles spill; a production deployment adds a
+    state TTL via GroupStateTimeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 — runs in the Python worker
+
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                t_us = int(t.value // 1000)  # pandas Timestamp ns → µs
+                if last_ts is None or (t_us - last_ts) > 1800 * 1_000_000:
+                    n_sessions += 1
+                last_ts = t_us
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    stream = _read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_sessions,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="last_ts long, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = _next_sink_name()
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
 @query("q_stream_event_window")  # rows-only: F.window start/end are
 # session-timezone-rendered timestamps; checked structurally in tests
 def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
