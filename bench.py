@@ -51,6 +51,13 @@ def main() -> None:
     queries, _ = collect()
     spark = get_spark("bench")
 
+    # warm up the JVM / codegen / parquet footers once so the first timed
+    # query measures the engine, not session startup
+    from spark_ml_spark.io.sources import load
+
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        load(spark, sf_dir, t).limit(1).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

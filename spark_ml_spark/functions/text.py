@@ -54,3 +54,21 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
         f" ELSE array_distinct(transform(sequence(1, length({col_name}) - {n - 1}),"
         f" i -> substring({col_name}, i, {n}))) END"
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingle set — the standard web-dedup unit
+    (char n-grams of a small-vocabulary corpus are near-universal, so
+    every doc pair looks similar; word shingles discriminate). Built from
+    ``sequence`` + ``transform`` over the token array — row-local, no
+    explode shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    # sequence(1, 0) counts DOWN in Spark → guard short docs explicitly
+    return F.when(
+        F.size(toks) < k, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(joined))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ml_spark.functions.text import char_ngrams, ws_tokens
+from spark_ml_spark.functions.text import char_ngrams, word_shingles, ws_tokens
 from spark_ml_spark.io.sources import load
 from spark_ml_spark.registry import query
 
@@ -53,20 +53,24 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2: MinHash + LSH near-duplicate candidate pairs.
 
-    shingle (3-gram set) → HashingTF sparse vector → MinHashLSH
-    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.5. Seeded, so results
-    are reproducible run-to-run; not SQL-expressible → rows-only check
-    (the exact-Jaccard twin ``q_ngram_jaccard`` is oracle-checked).
-    The LSH join is an equi-join on banded hash buckets — no O(n²) pair
-    enumeration at any scale.
+    shingle (3-word shingle set — the web-dedup standard unit; char
+    n-grams of a small-vocabulary corpus are near-universal, which makes
+    EVERY pair a candidate and destroys LSH pruning) → HashingTF sparse
+    vector → MinHashLSH ``approxSimilarityJoin`` at Jaccard distance
+    ≤ 0.5. Seeded, so results are reproducible run-to-run; not
+    SQL-expressible → rows-only check (the exact-Jaccard twin
+    ``q_ngram_jaccard`` is oracle-checked). The LSH join is an equi-join
+    on banded hash buckets — no O(n²) pair enumeration at any scale.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", char_ngrams("text", 3).alias("shingles")
+        "doc_id", word_shingles("text", 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs).select("doc_id", "features")
+    # cache: the self-join's two sides and the fit would otherwise each
+    # recompute shingling + hashing from the scan
+    feats = tf.transform(docs).select("doc_id", "features").cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = (
