@@ -34,10 +34,12 @@ HEADLINE = (
     "q_count_distinct",
     "q_exact_dedup",
     "q_minhash_neardup",
+    "q_minhash_native",
     "q_simhash_buckets",
     "q_text_stats",
     "q_token_count",
     "q_cosine_topk",
+    "q_ivf_topk",
     "q_sessionize",
 )
 

