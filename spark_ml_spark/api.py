@@ -1,0 +1,247 @@
+"""Public operator API: every engine capability as a composable function
+over ARBITRARY DataFrames (the registered ``q_*`` queries are thin
+bindings of these onto the driver's test tables).
+
+All functions return lazy DataFrames/Columns — they compose into one
+Catalyst plan with the caller's own transformations. None of them collect,
+cache (except where a self-join needs it), or assume a data scale; scale
+notes per function.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from spark_ml_spark.functions.text import word_shingles
+from spark_ml_spark.functions.vector import cosine, to_double_array
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-digest group-by: one row per distinct
+    content, keeping the lowest id. Shuffles 16-byte digests, never
+    content."""
+    return (
+        df.groupBy(F.md5(content_col).alias("content_key"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs with exact-Jaccard
+    verification (see ``q_minhash_native`` docstring for the full design).
+    Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
+
+    Map-only signatures (behind one cheap shuffle barrier), one band-key
+    aggregation, verification on candidates only — the 100 TB shape."""
+    rows = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("g"),
+    ).filter(F.size("g") > 0)
+    # barrier: stops CollapseProject from inlining the shingle+hash
+    # expression into the K-way transform (measured >15× slowdown)
+    hashed = docs.select(
+        "doc_id", F.transform("g", lambda s: F.xxhash64(s)).alias("hs")
+    ).repartition("doc_id")
+    sig = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda k: F.array_min(F.transform("hs", lambda h: F.xxhash64(k, h))),
+        ).alias("sig"),
+    )
+    band_rows = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    buckets = (
+        band_rows.groupBy("band_idx", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_struct = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                    ),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair_struct.alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, token_array_col: Column) -> DataFrame:
+    """64-bit SimHash fingerprint per row, entirely in built-in
+    expressions. Returns (id, simhash)."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(token_array_col, lambda t: F.xxhash64(t)).alias("hashes"),
+    ).repartition("doc_id")  # barrier — see minhash_near_dup_pairs
+    return hashed.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + "
+            " IF(aggregate(hashes, 0L,"
+            "      (a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,"
+            "    shiftleft(1L, b), 0L))"
+        ).alias("simhash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the single-row ``query``
+    (column ``q_emb``), one scan + TakeOrderedAndProject. Correct at any
+    corpus size when k is small."""
+    return (
+        df.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("emb"))
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (``centroids``: columns cell_id, ce). Broadcast centroids —
+    the corpus never shuffles. Returns df columns + cell_id.
+
+    At 100 TB, persist this partitioned BY cell_id so queries prune to
+    their probed cells."""
+    w = W.partitionBy(id_col).orderBy(
+        _l2sq(to_double_array(vec_col), F.col("ce")), "cell_id"
+    )
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "ce")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# --------------------------------------------------------------------------
+# Event analytics
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (merge formulation): each left row gains the most recent
+    right row (right.ts <= left.ts) within the same ``by`` group. One
+    shuffle + one sort — never an inequality nested-loop join. Right's
+    carried columns are returned as ``asof_<name>``."""
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.lit(0).alias("__is_right"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in value_cols],
+    )
+    r = right.select(
+        *[
+            F.col(c) if c in (by, ts_col) else F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+        ],
+        F.lit(1).alias("__is_right"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    )
+    w = (
+        W.partitionBy(by)
+        .orderBy(ts_col, F.col("__is_right").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = l.unionByName(r)
+    for c in value_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("__is_right") == 0).select(
+        *lcols, *[f"asof_{c}" for c in value_cols]
+    )
+
+
+def sessionize(
+    df: DataFrame, user_col: str, ts_col: str, order_col: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Assign session ids per user: a gap > gap_seconds starts a new
+    session (lag + running-sum pattern; one shuffle on user)."""
+    w = W.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col, 1).over(w))
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn(
+        "session_id", F.sum(new_session).over(cum).cast("long")
+    )
+
+
+def l1_normalize(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """L1 row-group normalization with zero-guard (window formulation)."""
+    w = W.partitionBy(*group_cols)
+    return df.withColumn(
+        f"{value_col}_frac",
+        F.col(value_col) / F.nullif(F.sum(value_col).over(w), F.lit(0.0)),
+    )

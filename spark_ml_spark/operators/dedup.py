@@ -127,80 +127,16 @@ def q_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: signature computation is a map-only pass; the only shuffle
     is the band-key join; verification touches candidate pairs only."""
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", word_shingles("text", 3).alias("g"))
-        .filter(F.size("g") > 0)
-    )
-    # K min-hashes, JVM-side. Hash each STRING shingle exactly once, then
-    # derive the K families from cheap (seed, int64) hashes. The
-    # repartition is load-bearing: without a barrier, CollapseProject
-    # inlines the shingle+hash expression into the K-way transform lambda
-    # and the whole shingle set is recomputed 128× per document (measured
-    # >15× slowdown). Shuffling (doc_id, hs) is ~2.4 KB/doc — at 100 TB
-    # this is the cheap stage boundary, not a hot spot.
-    hashed = docs.select(
-        "doc_id", F.transform("g", lambda s: F.xxhash64(s)).alias("hs")
-    ).repartition("doc_id")
-    sig = hashed.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_MH_K - 1)),
-            lambda k: F.array_min(F.transform("hs", lambda h: F.xxhash64(k, h))),
-        ).alias("sig"),
-    )
-    # band keys: hash each r-slice; posexplode to SLIM (doc, band_idx,
-    # band_key) rows — the shingle arrays must NOT travel through the
-    # band join (1.6M rows × ~2 KB array ≈ GBs of shuffle; the slim join
-    # shuffles 24 bytes/row)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
-                lambda b: F.xxhash64(F.slice("sig", b * _MH_ROWS + 1, _MH_ROWS)),
-            )
-        ).alias("band_idx", "band_key"),
-    )
-    # bucket by band key; in-bucket pair enumeration (bands → buckets →
-    # candidate pairs). One aggregation instead of a self-join — the
-    # signature stage runs ONCE, and bucket sizes bound the pair blow-up
-    # (a self-join recomputes signatures for both sides). At 100 TB, a
-    # pathological mega-cluster would need a representative-doc cap here.
-    buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_struct = F.explode(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x, i: F.transform(
-                    F.slice("ids", i + 2, F.size("ids")),
-                    lambda y: F.struct(
-                        F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                    ),
-                ),
-            )
-        )
-    )
-    cand = (
-        buckets.select(pair_struct.alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # verification: re-join the shingle sets for CANDIDATES only
-    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_union("ga", "gb")
-    )
-    return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    from spark_ml_spark.api import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_k=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=0.5,
     )
 
 
@@ -211,27 +147,13 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions — zero Python). Documents are then grouped by
     the 16-bit band prefixes; bucket sizes > 1 are near-dup candidates.
     At scale: 4 band columns → 4 cheap group-bys, no pairwise work."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", ws_tokens("text").alias("toks")
-    )
-    # repartition barrier: without it CollapseProject inlines the
-    # token-hash transform into the 64-bit fold below and re-hashes every
-    # token 64× (same trap as q_minhash_native's signature stage)
-    hashed = docs.select(
-        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes")
-    ).repartition("doc_id")
+    from spark_ml_spark.api import simhash64
+
+    docs = load(spark, sf_dir, "documents")
     # simhash bit b = 1 iff the sum over tokens of sign(bit b of hash) is
     # positive; the whole 64-bit fold is one nested higher-order
-    # expression — JVM-side, no Python, no explode
-    sim = hashed.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + "
-            " IF(aggregate(hashes, 0L,"
-            "      (a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,"
-            "    shiftleft(1L, b), 0L))"
-        ).alias("simhash"),
-    )
+    # expression — JVM-side, no Python, no explode (api.simhash64)
+    sim = simhash64(docs, "doc_id", ws_tokens("text"))
     bands = sim.select(
         "doc_id",
         "simhash",

@@ -340,14 +340,15 @@ FROM lineitem
 def q_l1_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: L1 row-group normalization with zero-guard — the reference's
     ``toVector`` divide-by-sum (``Data_transform.py:92-95``) as a window
-    expression (SURVEY §2.5)."""
-    w = W.partitionBy("l_orderkey")
-    return load(spark, sf_dir, "lineitem").select(
+    expression (SURVEY §2.5; api.l1_normalize)."""
+    from spark_ml_spark.api import l1_normalize
+
+    return l1_normalize(
+        load(spark, sf_dir, "lineitem"), ["l_orderkey"], "l_quantity"
+    ).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_quantity") / F.nullif(F.sum("l_quantity").over(w), F.lit(0.0)), 6
-        ).alias("qty_frac"),
+        F.round("l_quantity_frac", 6).alias("qty_frac"),
     )
 
 
@@ -601,20 +602,12 @@ FROM g
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap > 30 min starts a new session; session id is
     the running count of session starts (the standard lag+cumsum pattern —
-    no Python, no state store needed in batch)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        load(spark, sf_dir, "events")
-        .withColumn("new_session", new_session)
-        .select(
-            "user_id",
-            "event_id",
-            F.sum("new_session").over(cum).cast("long").alias("session_id"),
-        )
-    )
+    no Python, no state store needed in batch; api.sessionize)."""
+    from spark_ml_spark.api import sessionize
+
+    return sessionize(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id", 1800
+    ).select("user_id", "event_id", "session_id")
 
 
 @query("q_tumbling_window", oracle="""

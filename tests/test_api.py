@@ -1,0 +1,92 @@
+"""Public-API tests: the operator library must work on ARBITRARY
+DataFrames (not just the driver's test tables) — small in-memory frames
+with hand-computable expected results."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from spark_ml_spark import api
+
+
+def test_exact_dedup_arbitrary_df(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, txt string"
+    )
+    out = {r.keep_id: r.n_copies for r in api.exact_dedup(df, "txt", "id").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_minhash_pairs_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words compose this second document body here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id long, txt string"
+    )
+    pairs = api.minhash_near_dup_pairs(df, "id", "txt", threshold=0.3).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "id long, txt string",
+    )
+    out = {r.doc_id: r.simhash for r in api.simhash64(
+        df, "id", F.split(F.col("txt"), " ")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "id long, emb array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "q_emb array<double>")
+    out = api.cosine_topk(df, "id", "emb", q, k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cos_sim == 1.0
+
+
+def test_asof_join_picks_latest_prior(spark):
+    ts = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(30), 101), (2, ts(10), 200)],
+        "uid long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 1.0), (1, ts(20), 2.0), (2, ts(50), 9.0)],
+        "uid long, ts timestamp, val double",
+    )
+    out = {r.lid: r.asof_val for r in api.asof_join(
+        left, right, by="uid", ts_col="ts", value_cols=["val"]).collect()}
+    # lid 100 sees val 1.0 (ts5 <= ts10 < ts20); lid 101 sees 2.0;
+    # lid 200 has no prior right row -> NULL
+    assert out == {100: 1.0, 101: 2.0, 200: None}
+
+
+def test_sessionize_gap_splits(spark):
+    ts = lambda m: datetime.datetime(2024, 1, 1, 0, m, 0)
+    df = spark.createDataFrame(
+        [(1, ts(0), 1), (1, ts(10), 2), (1, ts(50), 3), (2, ts(0), 4)],
+        "uid long, ts timestamp, eid long",
+    )
+    out = {r.eid: r.session_id for r in api.sessionize(
+        df, "uid", "ts", "eid", gap_seconds=1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_l1_normalize_zero_guard(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 0.0)], "grp string, v double"
+    )
+    out = api.l1_normalize(df, ["grp"], "v").collect()
+    fracs = {(r.grp, r.v): r.v_frac for r in out}
+    assert fracs[("a", 1.0)] == 0.25
+    assert fracs[("a", 3.0)] == 0.75
+    assert fracs[("b", 0.0)] is None  # zero-sum group -> NULL, not div/0
