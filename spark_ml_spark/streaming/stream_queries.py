@@ -95,6 +95,48 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result.collect(), schema=result.schema)
 
 
+def stateful_session_counts(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """The stateful operator itself, reusable on ANY stream with
+    (user_id, ts, event_id): per-user session/event counts with state
+    (last event time, session count, event count) carried across
+    micro-batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def count_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 — runs in the Python worker
+
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                t_us = int(t.value // 1000)  # pandas Timestamp ns → µs
+                if last_ts is None or (t_us - last_ts) > gap_us:
+                    n_sessions += 1
+                last_ts = t_us
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_sessions,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="last_ts long, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 @query("q_stream_stateful_sessions", oracle="""
 WITH g AS (
   SELECT user_id, ts,
@@ -117,40 +159,8 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: state is per-user (bounded), partitioned by the group key;
     the RocksDB state store handles spill; a production deployment adds a
     state TTL via GroupStateTimeout."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def count_sessions(key, pdf_iter, state: GroupState):
-        import pandas as pd  # noqa: PLC0415 — runs in the Python worker
-
-        if state.exists:
-            last_ts, n_sessions, n_events = state.get
-        else:
-            last_ts, n_sessions, n_events = None, 0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for t in pdf["ts"]:
-                t_us = int(t.value // 1000)  # pandas Timestamp ns → µs
-                if last_ts is None or (t_us - last_ts) > 1800 * 1_000_000:
-                    n_sessions += 1
-                last_ts = t_us
-                n_events += 1
-        state.update((last_ts, n_sessions, n_events))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
-        )
-
     stream = _read_events_stream(spark, sf_dir)
-    sessions = (
-        stream.select("user_id", "ts", "event_id")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            count_sessions,
-            outputStructType="user_id long, n_sessions long, n_events long",
-            stateStructType="last_ts long, n_sessions long, n_events long",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+    sessions = stateful_session_counts(stream)
     sink = _next_sink_name()
     q = (
         sessions.writeStream.outputMode("update")
