@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): Spark expression implementations vs
+pure-Python reference implementations on randomized inputs.
+
+Each example costs a Spark job, so examples are capped; the properties
+still explore edge shapes unit tests miss (empty docs, single tokens,
+repeated tokens, unicode, zero-gaps)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_ml_spark import api
+from spark_ml_spark.functions.text import char_ngrams, word_shingles
+
+WORDS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+DOCS = st.lists(WORDS, min_size=0, max_size=30).map(" ".join)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def py_word_shingles(text: str, k: int) -> set[str]:
+    toks = text.strip().split()
+    if text.strip() == "":
+        toks = [""]  # Spark's split of "" yields [""]
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_char_ngrams(text: str, n: int) -> set[str]:
+    return {text[i:i + n] for i in range(len(text) - n + 1)}
+
+
+@SETTINGS
+@given(docs=st.lists(DOCS, min_size=1, max_size=8), k=st.integers(2, 4))
+def test_word_shingles_matches_python(spark, docs, k):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, txt string"
+    )
+    out = df.select("id", word_shingles("txt", k).alias("g")).collect()
+    for r in out:
+        assert set(r.g) == py_word_shingles(docs[r.id], k), docs[r.id]
+
+
+@SETTINGS
+@given(docs=st.lists(DOCS, min_size=1, max_size=8), n=st.integers(2, 4))
+def test_char_ngrams_matches_python(spark, docs, n):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, txt string"
+    )
+    out = df.select("id", char_ngrams("txt", n).alias("g")).collect()
+    for r in out:
+        assert set(r.g) == py_char_ngrams(docs[r.id], n), docs[r.id]
+
+
+@SETTINGS
+@given(
+    offsets=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 7200)), min_size=1, max_size=20
+    )
+)
+def test_sessionize_matches_python(spark, offsets):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (uid, base + datetime.timedelta(seconds=sec), i)
+        for i, (uid, sec) in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, eid long")
+    got = {
+        r.eid: r.session_id
+        for r in api.sessionize(df, "uid", "ts", "eid", 1800).collect()
+    }
+    # python reference
+    want = {}
+    per_user: dict[int, list] = {}
+    for uid, ts, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        prev = per_user.get(uid)
+        if prev is None or (ts - prev[0]).total_seconds() > 1800:
+            sid = (prev[1] if prev else 0) + 1
+        else:
+            sid = prev[1]
+        per_user[uid] = (ts, sid)
+        want[eid] = sid
+    assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_l1_normalize_property(spark, vals):
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(vals)], "grp long, v double, i long"
+    )
+    out = api.l1_normalize(df, ["grp"], "v").collect()
+    sums: dict[int, float] = {}
+    for r in out:
+        if r.v_frac is not None:
+            sums[r.grp] = sums.get(r.grp, 0.0) + r.v_frac
+        else:
+            # NULL only for zero-sum groups
+            assert sum(v for g, v in vals if g == r.grp) == 0.0
+    for g, s in sums.items():
+        assert abs(s - 1.0) < 1e-9
