@@ -1,0 +1,114 @@
+"""SQL front-end surface: the same engine driven through ``spark.sql``
+text instead of the DataFrame DSL — users of the reference could port
+their queries as plain SQL. Tables are registered as temp views per
+(session, sf_dir); Catalyst plans SQL text and DSL identically, so these
+share every optimization the DSL queries get (the plans are literally the
+same nodes).
+
+The SQL dialect differences vs the DuckDB oracle are minimal and visible
+side-by-side in each pair below (epoch() vs unix_timestamp, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ml_spark.io.sources import TABLES, load
+from spark_ml_spark.registry import query
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotently expose every test table as a temp view named
+    ``<table>`` (re-registered when sf_dir changes)."""
+    # temp views are session-scoped; re-registration is metadata-only
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query("q_sql_tpch_q3", oracle="""
+SELECT l_orderkey,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority shape) as SQL TEXT through Spark's
+    parser — identical string runs on DuckDB. Plans as broadcast joins +
+    partial aggregation + TakeOrderedAndProject, same as the DSL."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_orderkey,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """)
+
+
+@query("q_sql_tpch_q6", oracle="""
+SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting-revenue shape): pure scan+filter+agg — the
+    whole WHERE clause reaches the parquet reader as PushedFilters."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """)
+
+
+@query("q_sql_correlated_subquery", oracle="""
+SELECT p_brand, count(*) AS n_premium
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+GROUP BY p_brand
+""")
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution, unlike the naive nested
+    evaluation)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, count(*) AS n_premium
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand
+    """)
+
+
+@query("q_sql_window_ntile", oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)      AS price_quartile,
+       CAST(rank() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_rank
+FROM orders
+""")
+def q_sql_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window functions (ntile/rank) through the parser. Note: a
+    global ORDER BY window is a single-partition sort — fine for ranked
+    reports, but at 100 TB rank within partitions (or approx quantiles)
+    instead."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+               CAST(rank() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                 AS price_rank
+        FROM orders
+    """)
