@@ -41,6 +41,7 @@ HEADLINE = (
     "q_cosine_topk",
     "q_ivf_topk",
     "q_sessionize",
+    "q_llm_pipeline",
 )
 
 

@@ -15,3 +15,9 @@ designed for 100 TB scale:
 """
 
 __version__ = "0.1.0"
+
+#: public composable surface (lazy import to keep bare-package import
+#: free of a SparkSession requirement):
+#:   from spark_ml_spark import api           — operators over any DataFrame
+#:   from spark_ml_spark.session import get_spark
+#:   from spark_ml_spark.registry import collect — the driver contract

@@ -180,6 +180,78 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates
 
 
+@query("q_llm_pipeline", oracle="""
+WITH quality AS (              -- 1. heuristic quality gate
+  SELECT doc_id, text, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        / NULLIF(length(text), 0) < 0.1
+), exact AS (                  -- 2. exact dedup (keep lowest doc_id)
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+), kept AS (
+  SELECT q.* FROM quality q JOIN exact e ON q.doc_id = e.doc_id
+), sh AS (                     -- 3. near-dup removal (drop higher doc_id)
+  SELECT doc_id, list_distinct([
+      string_split(trim(text), ' ')[i] || ' ' ||
+      string_split(trim(text), ' ')[i+1] || ' ' ||
+      string_split(trim(text), ' ')[i+2]
+      for i in range(1, len(string_split(trim(text), ' ')) - 1)]) AS g
+  FROM kept
+), dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / len(list_distinct(list_cat(a.g, b.g))) >= 0.5
+)
+SELECT lang,                   -- 4. corpus stats on the clean set
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang
+""")
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full LLM-training-data pipeline as ONE composed plan —
+    quality gate → exact dedup → MinHash-LSH near-dup removal → per-lang
+    corpus stats. Every stage is the engine's own operator (api.*); the
+    oracle recomputes the identical semantics (near-dup via exact Jaccard —
+    valid because LSH recall at the corpus's J≥0.9 dup pairs is ~1).
+
+    Scale shape: two digest/band shuffles + one final agg; no stage holds
+    more than (key, digest) state; the near-dup candidate space is banded,
+    never quadratic."""
+    from spark_ml_spark.api import exact_dedup, minhash_near_dup_pairs
+
+    toks = ws_tokens("text")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[.,!?;:]", "")
+    )
+    quality = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "text", "lang", F.size(toks).alias("n_tokens"),
+            (n_punct.cast("double") / F.nullif(F.length("text"), F.lit(0)))
+            .alias("punct_ratio"),
+        )
+        .filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") < 0.1))
+    )
+    keep_ids = exact_dedup(quality, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = quality.join(keep_ids, "doc_id")
+    near_dropped = (
+        minhash_near_dup_pairs(kept, "doc_id", "text", threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(near_dropped, "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 @query("q_ngram_jaccard", oracle="""
 WITH d AS (
   SELECT doc_id, lang,

@@ -10,7 +10,7 @@ exactly Structured Streaming's unified-model guarantee.
 
 from __future__ import annotations
 
-import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,13 +45,10 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_counter = threading.local()
-
-
 def _next_sink_name() -> str:
-    n = getattr(_counter, "n", 0) + 1
-    _counter.n = n
-    return f"spark_ml_spark_stream_sink_{n}"
+    # uuid, not a counter: memory-sink query names are session-global, so
+    # concurrent callers (or a re-entrant driver) must never collide
+    return f"spark_ml_spark_stream_sink_{uuid.uuid4().hex[:12]}"
 
 
 @query("q_stream_tumbling", oracle="""
