@@ -171,6 +171,27 @@ def ivf_assign(
     )
 
 
+def ivf_train_centroids(
+    df: DataFrame, vec_col: str, n_cells: int, seed: int = 42
+) -> DataFrame:
+    """Learn IVF centroids with seeded KMeans (MLlib) — the production
+    quantizer (the deterministic first-K variant in ``q_ivf_topk`` exists
+    for oracle checkability). Returns (cell_id, ce) ready for
+    ``ivf_assign``. Train on a sample at scale — centroid quality needs
+    thousands of points per cell, not the whole corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(to_double_array(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return df.sparkSession.createDataFrame(
+        centers, "cell_id int, ce array<double>"
+    )
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

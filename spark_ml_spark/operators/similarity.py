@@ -191,6 +191,78 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embedding_stats", oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       ROUND(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_l2_norm,
+       ROUND(avg(CAST(embedding[1] AS DOUBLE)), 4) AS dim0_mean,
+       ROUND(CAST(min(len(embedding)) AS DOUBLE), 1) AS min_dim,
+       ROUND(CAST(max(len(embedding)) AS DOUBLE), 1) AS max_dim
+FROM embeddings
+GROUP BY label
+""")
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 support: per-label embedding profile (count, mean L2 norm,
+    first-dimension mean, dimension bounds) — the sanity pass any
+    embedding pipeline runs before indexing. One scan, one agg; norms via
+    JVM higher-order functions."""
+    from spark_ml_spark.functions.vector import l2_norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        to_double_array("embedding").alias("emb"),
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(l2_norm(F.col("emb"))), 4).alias("avg_l2_norm"),
+        F.round(F.avg(F.element_at("emb", 1)), 4).alias("dim0_mean"),
+        F.round(F.min(F.size("emb")).cast("double"), 1).alias("min_dim"),
+        F.round(F.max(F.size("emb")).cast("double"), 1).alias("max_dim"),
+    )
+
+
+@query("q_ivf_kmeans_topk")  # rows-only: KMeans centroids are engine-specific
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 production IVF: seeded-KMeans quantizer (api.ivf_train_centroids)
+    + probed-cell search. Rows-only (centroids are not SQL-derivable); the
+    deterministic-quantizer twin ``q_ivf_topk`` carries the oracle."""
+    from spark_ml_spark.api import ivf_assign, ivf_train_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    cent = ivf_train_centroids(emb, "emb", n_cells=_IVF_K)
+    assigned = ivf_assign(emb, "vec_id", "emb", cent)
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    # probe cells nearest the query
+    probed = (
+        cent.crossJoin(F.broadcast(qvec))
+        .orderBy(
+            F.aggregate(
+                F.zip_with("ce", "qe", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            "cell_id",
+        )
+        .limit(_IVF_NPROBE)
+        .select("cell_id")
+    )
+    return (
+        assigned.join(F.broadcast(probed), "cell_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query("q_brp_lsh_neighbors")  # rows-only: LSH buckets are engine-specific
 def q_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 scale path: BucketedRandomProjectionLSH approximate neighbour
