@@ -235,7 +235,11 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = ivf_train_centroids(emb, "emb", n_cells=_IVF_K)
     assigned = ivf_assign(emb, "vec_id", "emb", cent)
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
-    # probe cells nearest the query
+    # probe cells nearest the query. nprobe=8 (half the cells) because the
+    # test corpora are small and near-isotropic — KMeans cells barely
+    # separate neighbors below ~100 vectors/cell (measured recall@10:
+    # 0.4 at 500 vecs/nprobe 4 vs 1.0 at 5000 vecs). In production, scale
+    # n_cells with the corpus (≈ sqrt(N)) and keep nprobe/n_cells small.
     probed = (
         cent.crossJoin(F.broadcast(qvec))
         .orderBy(
@@ -246,7 +250,7 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "cell_id",
         )
-        .limit(_IVF_NPROBE)
+        .limit(2 * _IVF_NPROBE)
         .select("cell_id")
     )
     return (
