@@ -98,6 +98,59 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield out
 
 
+#: frame-sampling output: one row PER SAMPLED FRAME (flat-map shape) —
+#: what a video pipeline feeds to per-frame feature extraction.
+_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset_bytes int, "
+    "frame_feature array<double>"
+)
+
+_N_FRAMES = 4
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: a real kernel would demux video and decode
+    every k-th frame (ffmpeg) / tile large images. Here each payload is
+    split into _N_FRAMES byte windows with a per-window feature — the
+    1→N flat-map batch shape is the production-relevant part: mapInPandas
+    may emit MORE rows than it consumes (unlike a scalar pandas_udf)."""
+    for pdf in batches:
+        out_rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            step = max(n // _N_FRAMES, 1)
+            for i in range(_N_FRAMES):
+                lo = min(i * step, n)
+                hi = min(lo + step, n) if i < _N_FRAMES - 1 else n
+                window = payload[lo:hi]
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "frame_offset_bytes": lo,
+                        "frame_feature": [
+                            float(len(window)),
+                            float(sum(window)) / max(len(window), 1),
+                            float(min(window)) if window else 0.0,
+                            float(max(window)) if window else 0.0,
+                        ],
+                    }
+                )
+        yield pd.DataFrame(out_rows)
+
+
+@query("q_media_frames")  # rows-only: the sampling kernel is a local stub
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 frame-sample/resize stage: binary payload → N frame rows via
+    ``mapInPandas`` (Arrow-batched 1→N flat map; no shuffle — executor
+    parallelism scales it; a real deployment bounds memory with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+
+
 @query("q_media_decode")  # rows-only: the decode kernel is a local stub
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 decode/feature-extract stage over opaque binary payloads via

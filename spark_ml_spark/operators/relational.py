@@ -55,6 +55,33 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_orc_scan", oracle="""
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""")
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (the other columnar format Spark ships natively):
+    parquet → ORC round-trip, aggregate — ORC gets the same pushdown /
+    pruning treatment from Catalyst as parquet."""
+    import os
+
+    from spark_ml_spark.io.sources import _CACHE_DIR
+
+    key = os.path.basename(os.path.abspath(sf_dir))
+    out = os.path.join(_CACHE_DIR, f"documents_orc_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 @query("q_json_scan", oracle="""
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
