@@ -40,6 +40,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     inference job is needed; filters/projections placed on the result are
     pushed into the scan by Catalyst (check ``PushedFilters`` in
     ``.explain``)."""
+    # defensive: the driver's session may not be ours — epoch math on
+    # timestamp_ntz (unix_timestamp) follows the SESSION timezone, and the
+    # DuckDB oracle's epoch() is UTC; pin it so results are
+    # session-independent (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _NANO_TS_COLUMNS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
