@@ -191,6 +191,46 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_cosine_topk_batch", oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND({_ORACLE_COS.format(a="e.embedding", b="q.qe")}, 4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY {_ORACLE_COS.format(a="e.embedding", b="q.qe")} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos_sim FROM scored WHERE rn <= 3
+""")
+def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 serving shape: top-k neighbours for a BATCH of query vectors in
+    one pass — broadcast the query set, score corpus × queries, rank per
+    query with a window. One scan of the corpus regardless of query count
+    (queries are the broadcast side); the rank window shuffles only
+    (q_id, vec_id, score) triples, never embeddings."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    qset = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qe")
+    )
+    from pyspark.sql import Window as W
+
+    cos = cosine(F.col("emb"), F.col("qe"))
+    w = W.partitionBy("q_id").orderBy(F.col("raw_cos").desc(), "vec_id")
+    return (
+        emb.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("raw_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("raw_cos", 4).alias("cos_sim"))
+    )
+
+
 @query("q_embedding_stats", oracle="""
 SELECT label,
        count(*) AS n_vecs,

@@ -72,6 +72,57 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query("q_sql_tpch_q12", oracle="""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""")
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-modes shape): join + conditional aggregation."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """)
+
+
+@query("q_sql_tpch_q14", oracle="""
+SELECT ROUND(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+""")
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion-effect shape): conditional revenue ratio with
+    a LIKE-predicated dimension join."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT ROUND(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+    """)
+
+
 @query("q_sql_correlated_subquery", oracle="""
 SELECT p_brand, count(*) AS n_premium
 FROM part p

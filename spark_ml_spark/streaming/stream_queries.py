@@ -173,6 +173,34 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result.collect(), schema=result.schema)
 
 
+@query("q_stream_dedup", oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on a stream keeps
+    first-seen keys in the state store and emits each key once (append
+    mode) — the incremental form of N1 exact dedup. In production, bound
+    the state with ``dropDuplicatesWithinWatermark``; here the key space
+    (user × event_type) is finite so unbounded state is exact."""
+    stream = _read_events_stream(spark, sf_dir)
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = _next_sink_name()
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
 @query("q_stream_event_window")  # rows-only: F.window start/end are
 # session-timezone-rendered timestamps; checked structurally in tests
 def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
