@@ -201,6 +201,62 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result.collect(), schema=result.schema)
 
 
+@query("q_stream_stream_join", oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+""")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks ⋈ purchases of the same user
+    within the preceding 30 minutes, both sides watermarked — the
+    watermark + time-range condition is what lets Spark EXPIRE join state
+    (without it, both sides buffer forever). Append-mode output equals the
+    batch interval join (the oracle) on a replay of the same data."""
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts BETWEEN click_ts - INTERVAL 30 MINUTES AND click_ts"
+        ),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    sink = _next_sink_name()
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
 @query("q_stream_event_window")  # rows-only: F.window start/end are
 # session-timezone-rendered timestamps; checked structurally in tests
 def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,21 @@ def test_sessionize_gap_splits(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_minhash_empty_and_short_docs(spark):
+    # empty / sub-k docs are filtered, never crash the signature stage
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "a b c d e f g h"), (4, "a b c d e f g h")],
+        "id long, txt string",
+    )
+    pairs = api.minhash_near_dup_pairs(df, "id", "txt", threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(3, 4, 1.0)]
+
+
+def test_sessionize_empty_df(spark):
+    df = spark.createDataFrame([], "uid long, ts timestamp, eid long")
+    assert api.sessionize(df, "uid", "ts", "eid").count() == 0
+
+
 def test_l1_normalize_zero_guard(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 0.0)], "grp string, v double"
