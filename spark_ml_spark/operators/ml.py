@@ -178,6 +178,76 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ols_regression", oracle="""
+SELECT ROUND(regr_slope(o_totalprice, qty), 4)     AS slope,
+       ROUND(regr_intercept(o_totalprice, qty), 4) AS intercept,
+       ROUND(regr_r2(o_totalprice, qty), 4)        AS r2
+FROM (
+  SELECT o_totalprice, sum(l_quantity) AS qty
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_totalprice
+)
+""")
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression (order price ~ total order
+    quantity) computed as ONE distributed aggregation — slope = cov/var,
+    r² = corr², no iterative solver, no driver-side math. The shape that
+    fits a trillion-row regression in a single pass; the MLlib estimator
+    path (`q_rf_regression` etc.) exists for the models that genuinely
+    need iteration."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    slope = F.covar_samp("qty", "o_totalprice") / F.var_samp("qty")
+    intercept = F.avg("o_totalprice") - slope * F.avg("qty")
+    r2 = F.pow(F.corr("qty", "o_totalprice"), 2)
+    return per_order.agg(
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
+@query("q_model_selection")  # rows-only: tree fits are not SQL-expressible
+def q_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter selection with TrainValidationSplit (seeded): grid
+    over RandomForest maxDepth, best model evaluated on the held-out
+    fold. Distributed fits, driver-side only the 2-entry param grid —
+    the MLlib-pipelines idiom for model selection at scale."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    ft = build_feature_table(spark, sf_dir).withColumnRenamed("c_acctbal", "label")
+    feature_cols = [_BCOL[b] for b in BRANDS]
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    rf = RandomForestRegressor(featuresCol="features", labelCol="label", seed=SEED)
+    evaluator = RegressionEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="rmse"
+    )
+    tvs = TrainValidationSplit(
+        estimator=Pipeline(stages=[assembler, rf]),
+        estimatorParamMaps=(
+            ParamGridBuilder().addGrid(rf.maxDepth, [3, 5]).build()
+        ),
+        evaluator=evaluator,
+        trainRatio=0.75,
+        seed=SEED,
+    )
+    model = tvs.fit(ft)
+    best_depth = model.bestModel.stages[-1].getMaxDepth()
+    metrics = [float(m) for m in model.validationMetrics]
+    return spark.createDataFrame(
+        [(int(best_depth), round(min(metrics), 4), round(max(metrics), 4))],
+        "best_max_depth int, best_rmse double, worst_rmse double",
+    )
+
+
 @query("q_rmse", oracle="""
 SELECT 'mean_predictor' AS model,
        ROUND(sqrt(avg((value - m) * (value - m))), 4) AS rmse
