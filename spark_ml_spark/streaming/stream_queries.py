@@ -33,6 +33,9 @@ EVENTS_SCHEMA = T.StructType([
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # epoch math and F.window alignment follow the session timezone; pin
+    # UTC so results match the DuckDB oracle in any driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file stream source wants a directory; glob-filter to the events
     # table (in production this is the landing directory new files arrive in)
     raw = (
@@ -257,13 +260,22 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result.collect(), schema=result.schema)
 
 
-@query("q_stream_event_window")  # rows-only: F.window start/end are
-# session-timezone-rendered timestamps; checked structurally in tests
+@query("q_stream_event_window", oracle="""
+SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)        AS win_start_epoch,
+       CAST(FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS win_end_epoch,
+       event_type,
+       count(*)             AS n_events,
+       ROUND(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""")
 def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation with a watermark — the
     late-data-tolerant form (``withWatermark`` bounds state so the
     aggregation runs forever on an unbounded stream). Uses ``F.window``
-    tumbling 1h; emitted with epoch-second window bounds."""
+    tumbling 1h, emitted with epoch-second bounds — deterministic because
+    the session timezone is pinned to UTC (io.sources.load), so the
+    batch GROUP BY hour oracle applies."""
     stream = _read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
