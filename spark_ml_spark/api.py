@@ -10,8 +10,6 @@ notes per function.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
