@@ -294,3 +294,54 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+@query("q_fuzzy_dedup_levenshtein", oracle="""
+SELECT a.doc_id                                            AS doc_a,
+       b.doc_id                                            AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 40),
+                        substr(b.text, 1, 40)) AS BIGINT)  AS edit_distance
+FROM documents a JOIN documents b
+  ON a.lang = b.lang
+ AND substr(a.text, 1, 12) = substr(b.text, 1, 12)
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+""")
+def q_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup detection with prefix blocking —
+    the classic record-linkage design. A naive all-pairs Levenshtein is
+    O(n² · L²) and impossible at 100 TB; instead:
+
+    1. BLOCK: equi-join on (lang, 12-char prefix) — a plain hash/SMJ
+       join, so the pair space collapses to documents sharing a block
+       key (skew-bounded: a pathological hot prefix can be salted or
+       length-bucketed further).
+    2. VERIFY: exact Levenshtein, JVM-side (``F.levenshtein`` is a
+       Catalyst expression — no Python round-trip), on a bounded 40-char
+       prefix so the per-pair cost is O(40²) regardless of doc length.
+
+    Only slim (doc_id, lang, prefix) rows flow through the join — full
+    text never shuffles (pitfall: carrying payloads through a candidate
+    join multiplies shuffle bytes by the blowup factor)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.substring("text", 1, 12).alias("block_key"),
+        F.substring("text", 1, 40).alias("prefix40"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("block_key").alias("bk_a"), F.col("prefix40").alias("pref_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("block_key").alias("bk_b"), F.col("prefix40").alias("pref_b"),
+    )
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b"))
+                  & (F.col("bk_a") == F.col("bk_b"))
+                  & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("edit_distance",
+                    F.levenshtein("pref_a", "pref_b").cast("bigint"))
+        .filter(F.col("edit_distance") <= 10)
+        .select("doc_a", "doc_b", "edit_distance")
+    )

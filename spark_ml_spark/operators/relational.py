@@ -915,3 +915,81 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("N") / total, 6).alias("frac_n"),
         F.round(F.col("R") / total, 6).alias("frac_r"),
     )
+
+
+@query("q_window_leadlag", oracle="""
+SELECT event_id, user_id, ts,
+       ROUND(value - lag(value)  OVER w, 4)  AS value_delta,
+       CAST(floor((epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1000000.0)
+            AS BIGINT)                       AS secs_to_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag offset windows (SURVEY §2.5): per-user value deltas and
+    inter-event gaps — the building block of funnel/retention analysis.
+    One shuffle on user_id serves BOTH window functions (same WINDOW
+    spec → one sort, one Window physical node). At 100 TB this is the
+    minimum possible cost for any per-entity ordered computation."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        # microsecond-exact gap, floored to whole seconds (unix_timestamp
+        # would truncate each endpoint BEFORE subtracting — off by one
+        # whenever the fractional parts wrap)
+        F.floor(
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1_000_000.0)
+        ).cast("bigint").alias("secs_to_next"),
+    )
+
+
+@query("q_range_join", oracle="""
+SELECT p.event_id                              AS purchase_id,
+       p.user_id, p.ts,
+       count(c.event_id)                       AS clicks_before,
+       ROUND(coalesce(sum(c.value), 0.0), 4)   AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+""")
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: attribute to each purchase the clicks by
+    the same user in the preceding 10 minutes. The user_id equi-key
+    makes this a plain SortMergeJoin with the time range as a join-level
+    post-filter — Catalyst never falls back to a nested-loop, so the
+    cost is one shuffle per side at any scale. (A PURE range join with
+    no equi-key needs manual time-bucketing — join on overlapping
+    coarse buckets, then filter — or it plans as a broadcast-nested-
+    loop; with the equi-key present, bucketing is unnecessary.)"""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("ts"),
+    ).agg(
+        F.count("click_id").alias("clicks_before"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("click_value"),
+    )

@@ -163,3 +163,133 @@ def q_sql_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS price_rank
         FROM orders
     """)
+
+
+@query("q_sql_tpch_q1", oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2)                                        AS sum_qty,
+       ROUND(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(avg(l_quantity), 4)                                        AS avg_qty,
+       ROUND(avg(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing-summary shape): the canonical single-table
+    aggregation benchmark. Scan + pushed ship-date filter + 8-way hash
+    aggregate over a 4-group key — entirely whole-stage-codegen'd with
+    map-side partial aggregation, so at 100 TB the shuffle carries only
+    |groups| x |partitions| partial rows, never data rows."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(sum(l_quantity), 2)                          AS sum_qty,
+               ROUND(sum(l_extendedprice), 2)                     AS sum_base_price,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+               ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                  AS sum_charge,
+               ROUND(avg(l_quantity), 4)                          AS avg_qty,
+               ROUND(avg(l_extendedprice), 4)                     AS avg_price,
+               ROUND(avg(l_discount), 4)                          AS avg_disc,
+               count(*)                                           AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+@query("q_sql_tpch_q5", oracle="""
+SELECT n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier-volume shape): 5-way join ending in a
+    per-nation revenue rollup. (The spec's extra c_nationkey=s_nationkey
+    equi-constraint is dropped — the synthetic fixture assigns customer
+    and supplier nations independently, making it empty; the join
+    topology and plan shape are the point.) Catalyst broadcast-joins the
+    tiny region/nation dims (the r_name filter prunes BEFORE the join),
+    leaving one shuffle join orders<->lineitem; at 100 TB that pair
+    should be co-bucketed on the orderkey (api.write_bucketed) to make
+    this a zero-exchange join."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+
+
+@query("q_sql_tpch_q18", oracle="""
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(sum(l_quantity), 2) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume-customer shape): IN-subquery over an
+    aggregate HAVING filter, then a 3-way join + re-aggregation. Catalyst
+    rewrites the IN subquery to a left-semi join whose build side is the
+    already-aggregated (small) key set — the full lineitem is scanned
+    twice but shuffled only as pre-aggregated partials. Ends in
+    TakeOrderedAndProject, so the ORDER BY ... LIMIT never sorts the full
+    result distributedly."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(sum(l_quantity), 2) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
+@query("q_sql_grouping_sets", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                     AS n_orders,
+       ROUND(sum(o_totalprice), 2)  AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube —
+    SURVEY §2.4 extension): three aggregation granularities in ONE scan.
+    Spark expands the sets via a single Expand node feeding one hash
+    aggregate — 3 grouping combinations cost one pass over the data, not
+    three scans; identical SQL text runs on DuckDB."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                     AS n_orders,
+               ROUND(sum(o_totalprice), 2)  AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)

@@ -101,3 +101,45 @@ def test_groupby_is_partial_agg(spark, sf_dir):
     must be a two-phase hash aggregate."""
     plan = plan_of(spark, "q_groupby_agg", sf_dir)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_is_smj_not_nested_loop(spark, sf_dir):
+    """The equi-key (user_id) must drive the join; the time range is a
+    join-level filter. A BroadcastNestedLoopJoin here would be O(n*m)
+    per user at 100 TB."""
+    plan = plan_of(spark, "q_range_join", sf_dir)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # any equi-key join strategy is fine (AQE picks broadcast at small
+    # SF, SMJ once the click side outgrows the broadcast threshold)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, "q_sql_tpch_q1", sf_dir)
+    # ship-date predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the group-key shuffle
+    assert "partial_sum" in plan or "Functions: [partial_" in plan
+
+
+def test_fuzzy_dedup_blocks_before_levenshtein(spark, sf_dir):
+    """The blocking equi-join must be a hash/SMJ join on the block key —
+    never a cartesian pair enumeration — and Levenshtein must stay a JVM
+    expression (no BatchEvalPython)."""
+    plan = plan_of(spark, "q_fuzzy_dedup_levenshtein", sf_dir)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """Three grouping granularities must cost ONE scan + one Expand, not
+    three scans."""
+    plan = plan_of(spark, "q_sql_grouping_sets", sf_dir)
+    # formatted mode prints each node twice (tree + detail); count scan
+    # Locations, which appear once per physical scan
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Expand" in plan
