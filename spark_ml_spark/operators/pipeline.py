@@ -1,0 +1,273 @@
+"""Training-data pipeline operators (north-star §2.12 extensions):
+deterministic dataset splits, stratified sampling, TF-IDF term scoring,
+top-k-per-group selection, unpivot/melt, higher-order array functions.
+
+These are the ops a 100 TB pretraining-data pipeline runs between raw
+ingest and tokenization. Everything here is built-in Catalyst
+expressions — zero Python in the data path — and every query has an
+exact DuckDB oracle (deterministic md5-based sampling instead of RNG
+sampling precisely so the result IS oracle-checkable and reproducible
+across engines, runs, and cluster sizes).
+
+The reference has only an unseeded ``randomSplit([0.7,0.3])``
+(``Data_transform.py:155``) — not reproducible even run-to-run. Hash
+splits are the scale-correct replacement: assignment is a pure function
+of the row key, so it is stable under retries, repartitioning, and
+incremental re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+# hex-fraction thresholds: 0xb3333333/2^32 ~= 0.70, 0xd999999a/2^32 ~= 0.85.
+# md5 hex is uniform, so lexicographic compare of the first 8 hex chars
+# partitions rows 70/15/15 with no hex->int conversion (portable to any
+# engine that has md5 over UTF-8 strings).
+_TRAIN_MAX = "b3333333"
+_VAL_MAX = "d999999a"
+
+
+@query("q_hash_split", oracle=f"""
+WITH assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_MAX}'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_VAL_MAX}'
+              THEN 'val' ELSE 'test' END AS split,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT split,
+       count(*)                 AS n_docs,
+       ROUND(avg(n_chars), 4)   AS avg_chars,
+       min(doc_id)              AS min_doc_id,
+       max(doc_id)              AS max_doc_id
+FROM assigned GROUP BY split
+""")
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 70/15/15 train/val/test split by md5(doc_id) —
+    the scale-correct replacement for the reference's unseeded
+    ``randomSplit`` (``Data_transform.py:155``). Assignment is a pure
+    row-key function: stable under retries, partitioning, and
+    incremental appends (new rows never move old rows between splits).
+    One narrow projection + one hash aggregate; no shuffle of data rows
+    beyond the tiny per-split partials."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(h < _TRAIN_MAX, "train")
+        .when(h < _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        split.alias("split"), "doc_id", "n_chars"
+    )
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query("q_stratified_sample", oracle="""
+WITH sampled AS (
+  SELECT lang, doc_id
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+        < CASE WHEN lang = 'en' THEN '33333333' ELSE '99999999' END
+)
+SELECT d.lang,
+       count(DISTINCT d.doc_id)             AS n_total,
+       count(s.doc_id)                      AS n_sampled,
+       CASE WHEN d.lang = 'en' THEN 0.2 ELSE 0.6 END AS target_rate
+FROM documents d LEFT JOIN sampled s
+  ON d.doc_id = s.doc_id AND d.lang = s.lang
+GROUP BY d.lang
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-language rates (down-
+    sample dominant 'en' to 0.2, keep others at 0.6), the standard
+    corpus-rebalancing step before pretraining. Hash-gated rather than
+    ``sampleBy`` so the sample is reproducible and oracle-checkable; at
+    100 TB the WHERE clause is a narrow per-row predicate (no shuffle,
+    no RNG state), and the reported counts verify the realized rate.
+    Uses md5 chars 9-16 so it is independent of q_hash_split's gate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8)
+    thresh = F.when(F.col("lang") == "en", "33333333").otherwise("99999999")
+    sampled = F.when(gate < thresh, F.lit(1))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(sampled).alias("n_sampled"),
+    ).select(
+        "lang", "n_total", "n_sampled",
+        F.when(F.col("lang") == "en", F.lit(0.2)).otherwise(F.lit(0.6))
+        .alias("target_rate"),
+    )
+
+
+@query("q_topk_per_group", oracle="""
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice, 2) AS total_price, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (row_number window + filter) — the distributed
+    idiom for 'best k rows per key'. One shuffle on the group key; the
+    rn <= 3 predicate lets Spark's WindowGroupLimit push the limit into
+    the sort, so each partition keeps only k rows per key instead of
+    sorting whole groups (crucial when one group holds billions of
+    rows). Deterministic tiebreak on o_orderkey."""
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query("q_unpivot", oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       ROUND(l_quantity, 2) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       ROUND(l_extendedprice, 2) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       ROUND(l_discount, 2) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       ROUND(l_tax, 2) FROM lineitem
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide numeric measures -> long (key, measure,
+    value) form — the inverse of q_pivot and the standard reshape before
+    per-metric aggregation. ``DataFrame.unpivot`` plans a single Expand
+    over ONE scan (4 output rows per input row), where the naive
+    UNION-ALL formulation (the oracle text) would scan the table 4
+    times — at 100 TB that is a 4x I/O difference for identical
+    results."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            F.round("l_discount", 2).alias("l_discount"),
+            F.round("l_tax", 2).alias("l_tax"),
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+    )
+
+
+@query("q_tfidf_topterms", oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, ROUND(score, 4) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+""")
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF (ln((N+1)/(df+1))+1, sklearn's
+    convention), returning each document's top-3 terms — corpus
+    keyword extraction as pure relational algebra. Plan shape at scale:
+    explode -> partial-aggregated tf (the explode never shuffles raw
+    text, only (doc_id, term) pairs), df is a second aggregate over the
+    already-small tf relation, and the corpus size N joins in as a
+    broadcast scalar. The final top-3 uses the same WindowGroupLimit
+    push-down as q_topk_per_group. Deterministic tiebreak on term."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", F.round("score", 4).alias("tfidf"))
+    )
+
+
+@query("q_array_functions", oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)                               AS dim,
+       ROUND(list_sum(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) * x)), 4) AS sq_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)      AS n_positive,
+       ROUND(list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))), 4) AS linf_norm
+FROM embeddings
+""")
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: lambda
+    transform / filter / aggregate entirely inside Catalyst (SURVEY
+    §2.11 — the engine's UDF-free path for array math). These run in
+    whole-stage codegen over the raw parquet arrays: no explode (which
+    would multiply row count by the 64-dim width before re-aggregating)
+    and no Python. Elements cast float32->double before arithmetic so
+    both engines fold in double precision."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int")
+        .alias("n_positive"),
+        F.round(F.array_max(F.transform(as_dbl, F.abs)), 4)
+        .alias("linf_norm"),
+    )

@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.dedup",
     "spark_ml_spark.operators.similarity",
     "spark_ml_spark.operators.textops",
+    "spark_ml_spark.operators.pipeline",
     "spark_ml_spark.operators.multimodal",
     "spark_ml_spark.operators.sql_frontend",
     "spark_ml_spark.streaming.stream_queries",

@@ -143,3 +143,35 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     # Locations, which appear once per physical scan
     assert plan.count("InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_unpivot_single_scan_expand(spark, sf_dir):
+    """unpivot must be one scan + one Expand, not the 4-scan UNION ALL
+    the oracle SQL spells out."""
+    plan = plan_of(spark, "q_unpivot", sf_dir)
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_topk_per_group_window_limit(spark, sf_dir):
+    """rn <= 3 must push into the window sort (WindowGroupLimit) so no
+    partition ever sorts a whole group."""
+    plan = plan_of(spark, "q_topk_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_stays_jvm_side(spark, sf_dir):
+    """explode/agg/join TF-IDF: no Python in the data path, corpus-size
+    scalar joined via broadcast."""
+    plan = plan_of(spark, "q_tfidf_topterms", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_array_functions_no_explode(spark, sf_dir):
+    """Higher-order array math must not explode the 64-wide arrays into
+    rows; lambdas run inside the projection."""
+    plan = plan_of(spark, "q_array_functions", sf_dir)
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
