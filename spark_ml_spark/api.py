@@ -286,3 +286,50 @@ def l1_normalize(df: DataFrame, group_cols: list[str], value_col: str) -> DataFr
         f"{value_col}_frac",
         F.col(value_col) / F.nullif(F.sum(value_col).over(w), F.lit(0.0)),
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components of an undirected graph by iterative
+    min-label propagation (Hash-to-Min style). ``edges`` needs one row
+    per edge (either direction); returns ``(node, component)`` where
+    ``component`` is the smallest node id in the component.
+
+    Each round costs one join + one partial-aggregated min (two
+    shuffles of (long, long) rows only); rounds ~= component diameter.
+    Convergence is the monotone sum(label) fixpoint — one scalar agg
+    per round. Lineage is cut with localCheckpoint so the plan stays
+    flat across iterations. For web-scale graphs with deep components,
+    swap in large-star/small-star (alternating contraction halves the
+    diameter per round); dedup-cluster graphs are shallow, so plain
+    propagation converges in a handful of rounds.
+    """
+    und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    und = und.union(und.select(F.col("_d").alias("_s"),
+                               F.col("_s").alias("_d")))
+    und = und.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("_s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["_d"] == labels["node"])
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("label", "nmin").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

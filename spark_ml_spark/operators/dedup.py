@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from spark_ml_spark.functions.text import char_ngrams, word_shingles, ws_tokens
 from spark_ml_spark.io.sources import load
@@ -344,4 +345,118 @@ def q_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.levenshtein("pref_a", "pref_b").cast("bigint"))
         .filter(F.col("edit_distance") <= 10)
         .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+@query("q_dedup_clusters", oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang
+   AND substr(a.text, 1, 12) = substr(b.text, 1, 12)
+   AND a.doc_id < b.doc_id
+  WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM labels
+""")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER formation: candidate pairs (the prefix-blocked
+    Levenshtein edges of q_fuzzy_dedup_levenshtein) are only half of a
+    dedup pipeline — near-duplication is transitive (A~B, B~C => one
+    group), so production dedup must compute connected components and
+    keep ONE canonical doc per component, not drop one side per pair
+    (pair-wise dropping over-deletes on chains and under-deletes on
+    triangles).
+
+    Distributed CC via iterative min-label propagation (the
+    Hash-to-Min / GraphFrames design): every node starts labeled with
+    its own id; each round every node takes the min of its own and its
+    neighbors' labels; converged when no label changes. Rounds =
+    component diameter — near-dup clusters are shallow (dozens of docs,
+    diameter ~2-4), so 3-5 rounds in practice; the driver loop is
+    log-bounded, NOT per-row. Each round is one join + one partial-
+    aggregated min — the same two-shuffle cost profile at any corpus
+    size, and only (node, label) longs ever shuffle. Convergence is
+    detected by the monotone sum(label) invariant (labels only
+    decrease, so an unchanged sum IS the fixpoint) — one scalar agg per
+    round, no row-wise diff. Lineage is truncated with localCheckpoint
+    every round so the plan does not grow with iterations.
+
+    Output: one row per doc that has at least one near-duplicate —
+    its cluster id (min doc_id in the component), the cluster size, and
+    a keep flag marking the canonical member. The DuckDB oracle computes
+    the same components via a recursive-CTE transitive closure (viable
+    there because the oracle graph is small; the closure is O(n*e) and
+    NOT the scale path)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.substring("text", 1, 12).alias("block_key"),
+        F.substring("text", 1, 40).alias("prefix40"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("block_key").alias("bk_a"), F.col("prefix40").alias("pref_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("block_key").alias("bk_b"), F.col("prefix40").alias("pref_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("lang_a") == F.col("lang_b"))
+                  & (F.col("bk_a") == F.col("bk_b"))
+                  & (F.col("doc_a") < F.col("doc_b")))
+        .filter(F.levenshtein("pref_a", "pref_b") <= 10)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(15):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("label", "nmin").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    w = W.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )

@@ -105,3 +105,23 @@ def test_l1_normalize_zero_guard(spark):
     assert fracs[("a", 1.0)] == 0.25
     assert fracs[("a", 3.0)] == 0.75
     assert fracs[("b", 0.0)] is None  # zero-sum group -> NULL, not div/0
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    # chain 1-2-3 and triangle 10-11-12 plus edge 11-13 => two components;
+    # node 20-20 self edge stays its own component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (11, 13), (20, 20)],
+        "src long, dst long",
+    )
+    out = {r.node: r.component for r in api.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+
+
+def test_connected_components_deep_chain(spark):
+    # diameter-9 path exercises multi-round convergence
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "src long, dst long"
+    )
+    out = {r.node: r.component for r in api.connected_components(edges).collect()}
+    assert out == {i: 1 for i in range(1, 11)}
