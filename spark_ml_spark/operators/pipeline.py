@@ -84,7 +84,7 @@ WITH sampled AS (
 SELECT d.lang,
        count(DISTINCT d.doc_id)             AS n_total,
        count(s.doc_id)                      AS n_sampled,
-       CASE WHEN d.lang = 'en' THEN 0.2 ELSE 0.6 END AS target_rate
+       CAST(CASE WHEN d.lang = 'en' THEN 0.2 ELSE 0.6 END AS DOUBLE) AS target_rate
 FROM documents d LEFT JOIN sampled s
   ON d.doc_id = s.doc_id AND d.lang = s.lang
 GROUP BY d.lang

@@ -9,6 +9,7 @@ dedicated tests).
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import pytest
@@ -29,6 +30,8 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     def norm_cell(v):
         if isinstance(v, bool):
             return int(v)
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
@@ -57,6 +60,33 @@ def test_oracle_match(name, spark, duck, sf_dir):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
     )
+    # Coarse type parity: a DECIMAL oracle column vs a DOUBLE Spark column
+    # is a driver schema_match risk even when stringified values agree.
+    def cat(v):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        return "other"
+
+    def col_cats(rows, cols):
+        out = {}
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in rows if r[i] is not None]
+            out[c] = cat(vals[0]) if vals else "empty"
+        return out
+
+    sc, dc = col_cats(spark_rows, spark_cols), col_cats(duck_rows, duck_cols)
+    for c in spark_cols:
+        if "empty" in (sc[c], dc[c]):
+            continue
+        assert sc[c] == dc[c], (
+            f"{name}: type category differs for {c}: spark={sc[c]} duck={dc[c]}"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
     )

@@ -11,6 +11,7 @@ Usage: python tools/driver_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -27,9 +28,13 @@ from spark_ml_spark.session import get_spark  # noqa: E402
 
 def _norm(v: object) -> str:
     """Normalize a cell for hashing the way an order-insensitive value
-    compare must: floats to 6 significant digits, None → ∅."""
+    compare must: floats to 6 significant digits, None → ∅. Decimal is
+    coerced to float so a DECIMAL-typed oracle column can't silently
+    string-match a DOUBLE Spark column (VERDICT r1 §wrong 1)."""
     if v is None:
         return "∅"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if v != v:
             return "nan"
@@ -37,6 +42,33 @@ def _norm(v: object) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _type_categories(cols: list[str], rows: list[tuple]) -> dict[str, str]:
+    """Coarse per-column Python type category from the first non-None cell —
+    catches DECIMAL-vs-DOUBLE oracle drift that name-only compare misses."""
+    cats: dict[str, str] = {}
+    for i, c in enumerate(cols):
+        cat = "unknown"
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                cat = "bool"
+            elif isinstance(v, decimal.Decimal):
+                cat = "decimal"
+            elif isinstance(v, int):
+                cat = "int"
+            elif isinstance(v, float):
+                cat = "float"
+            elif isinstance(v, (list, tuple)):
+                cat = "array"
+            else:
+                cat = type(v).__name__
+            break
+        cats[c] = cat
+    return cats
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -99,6 +131,11 @@ def main() -> None:
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        scats, ocats = _type_categories(scols, srows), _type_categories(ocols, orows)
+        for c in scols:
+            sc, oc = scats.get(c), ocats.get(c)
+            if sc and oc and "unknown" not in (sc, oc) and sc != oc:
+                problems.append(f"type category {c}: spark={sc} oracle={oc}")
         if not problems:
             sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
             if sh != oh:
