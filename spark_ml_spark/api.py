@@ -46,11 +46,28 @@ def minhash_near_dup_pairs(
 
     Map-only signatures (behind one cheap shuffle barrier), one band-key
     aggregation, verification on candidates only — the 100 TB shape."""
-    rows = num_hashes // bands
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_k).alias("g"),
-    ).filter(F.size("g") > 0)
+    )
+    return minhash_pairs_from_sets(
+        docs, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+
+
+def minhash_pairs_from_sets(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-MinHash near-dup pairs over a (doc_id, g) frame where ``g``
+    is any array<string> shingle/token set. Candidate threshold ≈
+    (1/bands)^(bands/num_hashes); pick fewer, taller bands for higher
+    thresholds (e.g. bands=16 → ≈0.71 for J≥0.8 work) so the candidate
+    volume stays near the true-pair volume instead of ~n²·P(J≥0.42)."""
+    rows = num_hashes // bands
+    docs = docs.filter(F.size("g") > 0)
     # barrier: stops CollapseProject from inlining the shingle+hash
     # expression into the K-way transform (measured >15× slowdown)
     hashed = docs.select(

@@ -80,6 +80,26 @@ def test_no_python_row_udfs(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan
 
 
+def test_embedding_neardup_is_banded_equi_join(spark, sf_dir):
+    """VERDICT r1 wrong-#2: the near-dup pair generator must be a hash
+    equi-join on (band_id, band_key) — never the O(n²) all-pairs
+    BroadcastNestedLoopJoin the previous theta-join formulation planned."""
+    plan = plan_of(spark, "q_embedding_neardup", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_ngram_jaccard_no_nested_loop(spark, sf_dir):
+    """VERDICT r1 wrong-#3: candidate generation must come from an
+    equi-join on high-cardinality band keys, not low-cardinality blocking
+    that degenerates to all-pairs at scale."""
+    plan = plan_of(spark, "q_ngram_jaccard", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partition_pruning(spark, sf_dir):
     """The year filter must become a PartitionFilter on the partitioned
     layout (directory skip), not a row-level DataFilter."""
