@@ -9,12 +9,17 @@ family vocabulary with 2 in-data-but-not-in-vocab names, an all-zero
 survey group, trailing whitespace in the vocabulary file — so every
 semantic quirk catalogued in SURVEY.md §1.3 is exercised.
 
-Deviations from the reference (documented, SURVEY §1.3):
-- per-(survey, family) counts are SUMMED, not last-write-wins (§1.3.2 —
-  the reference's assignment semantics are partition-order-dependent);
-- the 70/30 split is seeded (§1.3.6);
+Deviations from the reference (documented, SURVEY §1.3) — each now with
+an opt-in parity flag where reproducible:
+- per-(survey, family) counts default to SUM, not last-write-wins
+  (§1.3.2 — the reference's assignment semantics are partition-order-
+  dependent); ``build_site_vectors(last_write_wins=True)`` reproduces the
+  assignment semantics deterministically (max_by on file order);
+- the 70/30 split defaults to seeded (§1.3.6); ``fit_and_eval(seed=None)``
+  reproduces the reference's unseeded run-dependent split;
 - Spark's CSV reader preserves quoted commas instead of rewriting them to
-  ';' (§1.3.1).
+  ';' (§1.3.1 — not reproduced; the mutation was a parsing workaround,
+  not a semantic choice).
 The target-leakage quirk (§1.3.4: latitude appended to its own feature
 vector, ``Data_transform.py:117``) IS reproduced behind
 ``include_label_feature`` — it is load-bearing for the reference's
@@ -116,13 +121,25 @@ def load_families(spark: SparkSession, fam_path: str) -> DataFrame:
 
 
 def build_site_vectors(
-    spark: SparkSession, csv_path: str, fam_path: str
+    spark: SparkSession,
+    csv_path: str,
+    fam_path: str,
+    last_write_wins: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """The reference's ETL half (``Data_transform.py:32-100``) as ONE
     declarative plan: CSV scan (header, quote-aware) → project the 5 used
     columns → cast → broadcast left-semi vocabulary join (drop-unknown,
     §1.3.3) → group per site → pivot over the EXPLICIT vocabulary →
     sum (§1.3.2 deviation) → L1-normalize with zero-guard (§1.3.5).
+
+    ``last_write_wins=True`` reproduces the reference's ``toVector``
+    ASSIGNMENT semantics (``Data_transform.py:91``: ``vec[pos] = total``
+    per row, so for a repeated (survey, family) the last row processed
+    wins). The reference's "last" is file order within the groupByKey
+    iterator; here it is expressed deterministically as
+    ``max_by(Total, row_order)`` with row_order = the numeric FID (file
+    order in the fixture) — order-stable under Spark's partitioning,
+    unlike the reference's partition-order-dependent dict write.
 
     Returns (site_vectors, vocabulary). One shuffle total (the pivot
     aggregation); the reference re-read its CSV ≥6 times (SURVEY §3.1).
@@ -139,12 +156,16 @@ def build_site_vectors(
         F.col("SiteLong").cast("double").alias("SiteLong"),
         "Family",
         F.col("Total").cast("int").alias("Total"),
+        F.regexp_extract("FID", r"(\d+)", 1).cast("long").alias("row_order"),
     )
     known = proj.join(F.broadcast(fams), proj.Family == fams.family, "left_semi")
+    cell = (
+        F.max_by("Total", "row_order") if last_write_wins else F.sum("Total")
+    )
     piv = (
         known.groupBy("SurveyID", "SiteLat", "SiteLong")
         .pivot("Family", vocab)
-        .agg(F.sum("Total"))
+        .agg(cell)
         .na.fill(0, vocab)
     )
     total = sum(F.col(f"`{v}`") for v in vocab).cast("double")
@@ -171,10 +192,15 @@ def fit_and_eval(
     label: str,
     algo: str = "rf",
     include_label_feature: bool = False,
+    seed: int | None = SEED,
 ) -> float:
     """The reference's ML half (``Data_transform.py:155-179``): assemble
     features (optionally appending SiteLat — the leakage quirk §1.3.4),
-    seeded 70/30 split, fit RF or GBT, return RMSE."""
+    70/30 split, fit RF or GBT, return RMSE.
+
+    ``seed=None`` reproduces the reference's UNSEEDED ``randomSplit``
+    (``Data_transform.py:155`` passes no seed → run-dependent split, the
+    §1.3.6 quirk); any int gives the engine's reproducible default."""
     from pyspark.ml import Pipeline
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.feature import VectorAssembler
@@ -186,7 +212,10 @@ def fit_and_eval(
         reg = RandomForestRegressor(featuresCol="features", labelCol=label, seed=SEED)
     else:
         reg = GBTRegressor(featuresCol="features", labelCol=label, seed=SEED)
-    train, test = site_vectors.randomSplit([0.7, 0.3], seed=SEED)
+    if seed is None:
+        train, test = site_vectors.randomSplit([0.7, 0.3])
+    else:
+        train, test = site_vectors.randomSplit([0.7, 0.3], seed=seed)
     model = Pipeline(stages=[assembler, reg]).fit(train)
     preds = model.transform(test)
     return float(

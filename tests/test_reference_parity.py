@@ -70,6 +70,59 @@ def test_schema_matches_reference_shape(pipeline):
     assert all(t == "double" for c, t in vectors.dtypes[1:])
 
 
+def test_last_write_wins_parity(spark, pipeline):
+    """§1.3.2 parity flag: ``last_write_wins=True`` must reproduce the
+    reference's ``vec[pos] = total`` ASSIGNMENT semantics
+    (``Data_transform.py:91``) — checked against a row-by-row Python
+    emulation of the reference's dict write over the CSV in file order."""
+    import csv as csvmod
+
+    csv_path, fam_path = generate_fixture()
+    lww, vocab = build_site_vectors(spark, csv_path, fam_path,
+                                    last_write_wins=True)
+    summed, _ = build_site_vectors(spark, csv_path, fam_path)
+
+    # Python emulation (reference semantics): last row in file order wins
+    want: dict[str, dict[str, int]] = {}
+    with open(csv_path) as f:
+        for row in csvmod.DictReader(f):
+            if row["Family"] in vocab:
+                want.setdefault(row["SurveyID"], {})[row["Family"]] = int(
+                    row["Total"]
+                )
+
+    check_ids = ["S00001", "S00002", "S00050"]
+    got = {r["SurveyID"]: r.asDict()
+           for r in lww.filter(F.col("SurveyID").isin(check_ids)).collect()}
+    for sid in check_ids:
+        raw = [want[sid].get(v, 0) for v in vocab]
+        tot = sum(raw)
+        expect = [x / tot if tot else float(x) for x in raw]
+        actual = [got[sid][v] for v in vocab]
+        assert actual == pytest.approx(expect, abs=1e-12), sid
+
+    # the flag must actually change semantics vs the summed default
+    joined = lww.select("SurveyID", *[F.col(f"`{v}`").alias(f"l_{i}")
+                                      for i, v in enumerate(vocab)]).join(
+        summed.select("SurveyID", *[F.col(f"`{v}`").alias(f"s_{i}")
+                                    for i, v in enumerate(vocab)]),
+        "SurveyID",
+    )
+    diff = joined.filter(
+        " OR ".join(f"abs(l_{i} - s_{i}) > 1e-12" for i in range(len(vocab)))
+    ).count()
+    assert diff > 0
+
+
+def test_unseeded_split_mode(spark, pipeline):
+    """§1.3.6 parity flag: ``seed=None`` reproduces the reference's
+    unseeded ``randomSplit`` (``Data_transform.py:155``) — still a valid
+    fit/eval, just run-dependent."""
+    _, vectors, vocab = pipeline
+    rmse = fit_and_eval(spark, vectors, vocab, "SiteLong", "rf", seed=None)
+    assert rmse >= 0.0 and rmse == rmse  # finite, not NaN
+
+
 def test_rmse_finite_and_leakage_signature(spark, pipeline):
     _, vectors, vocab = pipeline
     # with the leakage flag on, latitude is in its own feature vector →
