@@ -23,7 +23,10 @@ from spark_ml_spark.registry import collect  # noqa: E402
 from spark_ml_spark.session import get_spark  # noqa: E402
 
 #: headline set: every operator family, weighted toward the shuffle-heavy
-#: plans that dominate at 100 TB (star join, pivot, window, dedup, LSH).
+#: plans that dominate at 100 TB (star join, pivot, window, dedup, LSH) —
+#: and deliberately INCLUDING the plans the r1 verdict graded weakest
+#: (embedding near-dup, n-gram Jaccard, global ntile), so regressions in
+#: the hard cases are measured, not hidden (VERDICT r1 next-#6).
 HEADLINE = (
     "q_flagship",
     "q_star_join",
@@ -42,6 +45,14 @@ HEADLINE = (
     "q_ivf_topk",
     "q_sessionize",
     "q_llm_pipeline",
+    "q_embedding_neardup",
+    "q_ngram_jaccard",
+    "q_sql_window_ntile",
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q18",
+    "q_range_join",
+    "q_asof_join",
 )
 
 

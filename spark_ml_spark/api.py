@@ -62,10 +62,40 @@ def minhash_pairs_from_sets(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Banded-MinHash near-dup pairs over a (doc_id, g) frame where ``g``
-    is any array<string> shingle/token set. Candidate threshold ≈
-    (1/bands)^(bands/num_hashes); pick fewer, taller bands for higher
-    thresholds (e.g. bands=16 → ≈0.71 for J≥0.8 work) so the candidate
-    volume stays near the true-pair volume instead of ~n²·P(J≥0.42)."""
+    is any array<string> shingle/token set: band-bucket candidates +
+    exact-Jaccard verification on the same sets."""
+    docs = docs.filter(F.size("g") > 0)
+    cand = minhash_candidates(docs, num_hashes=num_hashes, bands=bands)
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """The CANDIDATE stage of banded MinHash over a (doc_id, g) frame:
+    distinct (doc_a, doc_b) id pairs sharing ≥1 band bucket — no
+    verification, no payloads. Collision threshold ≈
+    (1/bands)^(bands/num_hashes); for a pair with Jaccard J the miss
+    probability is (1-J^rows)^bands.
+
+    Split out so a verifier can score a DIFFERENT feature space than the
+    candidate sets (e.g. q_ngram_jaccard: word-shingle candidates, exact
+    char-3-gram verify) — the candidate sets only need recall at the
+    verify threshold, so use whichever set family is cheapest and most
+    discriminative (word shingles ≫ char n-grams: ~6× fewer elements per
+    doc and far lower cross-doc similarity — pitfall #5)."""
     rows = num_hashes // bands
     docs = docs.filter(F.size("g") > 0)
     # barrier: stops CollapseProject from inlining the shingle+hash
@@ -107,21 +137,10 @@ def minhash_pairs_from_sets(
             )
         )
     )
-    cand = (
+    return (
         buckets.select(pair_struct.alias("p"))
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_union("ga", "gb")
-    )
-    return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

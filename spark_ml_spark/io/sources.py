@@ -90,6 +90,8 @@ def documents_csv_path(spark: SparkSession, sf_dir: str) -> str:
         (load(spark, sf_dir, "documents")
          .write.mode("overwrite")
          .option("header", True)
+         .option("quote", '"')
+         .option("escape", "\\")
          .csv(out))
     return out
 
@@ -116,11 +118,19 @@ def read_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_documents_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quote-aware CSV scan with declared schema (replaces the reference's
     ``arreglaComas`` state machine, ``Data_transform.py:44-57`` — Spark's
-    reader preserves quoted commas instead of mutating them, SURVEY §1.3.1)."""
+    reader preserves quoted commas instead of mutating them, SURVEY §1.3.1).
+
+    ``multiLine=True`` makes quoted embedded newlines round-trip instead
+    of silently splitting a document into corrupt rows (ADVICE r1). Scale
+    note: multiLine CSV files are not line-splittable, so parallelism
+    drops to one task per FILE — acceptable here because the writer side
+    produces many small files; for a 100 TB landing zone prefer JSONL or
+    parquet (or strip newlines at write time) if per-file sizes are large."""
     path = documents_csv_path(spark, sf_dir)
     return (spark.read
             .schema(DOCUMENTS_CSV_SCHEMA)
             .option("header", True)
             .option("quote", '"')
             .option("escape", "\\")
+            .option("multiLine", True)
             .csv(path))

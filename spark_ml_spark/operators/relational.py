@@ -252,7 +252,17 @@ FROM lineitem
 """)
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: exact distinct counts, all four in ONE pass — the reference
-    re-reads the CSV per column (``Data_transform.py:134-150``, ≥4 jobs)."""
+    re-reads the CSV per column (``Data_transform.py:134-150``, ≥4 jobs).
+
+    Scale note (SCALING.md r1 outlier, 1.9× wall for 100× data —
+    root-caused): multiple exact COUNT(DISTINCT)s plan as an Expand (one
+    duplicated row per distinct-aggregate) → the shuffle carries ~4× the
+    input rows and the distinct-key state grows linearly with data
+    (l_orderkey is ~n/4 keys), so this is the one aggregate whose shuffle
+    is O(data), not O(groups). That is inherent to EXACT distinct; the
+    at-scale default is ``q_approx_count_distinct`` (HyperLogLog++:
+    bounded sketch state, map-side combinable, one shuffle row per
+    partition) — use exact only for audit passes."""
     return load(spark, sf_dir, "lineitem").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),

@@ -125,3 +125,25 @@ def test_connected_components_deep_chain(spark):
     )
     out = {r.node: r.component for r in api.connected_components(edges).collect()}
     assert out == {i: 1 for i in range(1, 11)}
+
+
+def test_csv_multiline_roundtrip(spark, tmp_path):
+    """Embedded newlines in quoted text must round-trip through the CSV
+    write/read option set (ADVICE r1: without multiLine the reader
+    silently splits such rows)."""
+    from spark_ml_spark.io.sources import DOCUMENTS_CSV_SCHEMA
+
+    rows = [
+        (1, "line one\nline two", "en", "web", 17),
+        (2, "plain", "de", "web", 5),
+        (3, 'quoted "inner" and,comma', "en", "web", 24),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_CSV_SCHEMA)
+    out = str(tmp_path / "csv_roundtrip")
+    (df.write.mode("overwrite").option("header", True)
+       .option("quote", '"').option("escape", "\\").csv(out))
+    back = (spark.read.schema(DOCUMENTS_CSV_SCHEMA)
+            .option("header", True).option("quote", '"')
+            .option("escape", "\\").option("multiLine", True).csv(out))
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == sorted(rows)

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Round-over-round bench regression guard (VERDICT r1 next-#6): compare
+two bench JSON lines (e.g. BENCH_r01.json vs a fresh `python bench.py`
+output) per query and flag anything slower than REGRESSION_FACTOR×.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json
+Exit 1 if any shared query regressed beyond the factor.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+REGRESSION_FACTOR = 1.5
+#: ignore absolute differences under this many seconds — at sub-second
+#: scale, page-cache and JIT variance dominate any plan change
+NOISE_FLOOR_SEC = 0.75
+
+
+def read_bench(path: str) -> dict[str, float]:
+    with open(path) as f:
+        # the file may contain logging noise around the single JSON line
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)["queries"]
+    raise ValueError(f"no JSON line found in {path}")
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    old, new = read_bench(sys.argv[1]), read_bench(sys.argv[2])
+    regressed = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        mark = ""
+        if n > o * REGRESSION_FACTOR and n - o > NOISE_FLOOR_SEC:
+            mark = "  <-- REGRESSED"
+            regressed.append(name)
+        print(f"{name:28s} {o:8.3f} -> {n:8.3f}  ({n / max(o, 1e-9):4.2f}x){mark}")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"new queries (no baseline): {', '.join(only_new)}")
+    print(f"\ntotal shared: old {sum(old[q] for q in set(old) & set(new)):.2f}s "
+          f"-> new {sum(new[q] for q in set(old) & set(new)):.2f}s")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
