@@ -19,13 +19,25 @@ NOISE_FLOOR_SEC = 0.75
 
 
 def read_bench(path: str) -> dict[str, float]:
-    with open(path) as f:
-        # the file may contain logging noise around the single JSON line
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)["queries"]
-    raise ValueError(f"no JSON line found in {path}")
+    """Accept either raw `python bench.py` output (one JSON line, possibly
+    surrounded by log noise) or the driver's BENCH_r{N}.json wrapper
+    (bench stdout embedded in its "tail"/"parsed" fields)."""
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict):
+            if "queries" in doc:
+                return doc["queries"]
+            if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+                return doc["parsed"]["queries"]
+            text = doc.get("tail", "")
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)["queries"]
+    raise ValueError(f"no bench JSON found in {path}")
 
 
 def main() -> None:
