@@ -146,9 +146,13 @@ def _fit_and_eval(
     rmse = RegressionEvaluator(
         labelCol="label", predictionCol="prediction", metricName="rmse"
     ).evaluate(predictions)
+    # count while still cached (VERDICT r1 minor: counting after
+    # unpersist() re-ran the whole feature plan)
+    n_train = train.count()
+    n_test = predictions.count()
     train.unpersist()
     return spark.createDataFrame(
-        [(algo, "c_acctbal", float(rmse), train.count(), predictions.count())],
+        [(algo, "c_acctbal", float(rmse), n_train, n_test)],
         "algo string, label string, rmse double, n_train long, n_test long",
     )
 
