@@ -484,3 +484,136 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+#: a segment is a consecutive 10-word chunk (the pseudo-"line" unit for
+#: corpus-frequency boilerplate removal); chunks seen in >= 3 distinct
+#: docs count as boilerplate.
+_SEG_WORDS = 10
+_SEG_BOILER_MIN_DOCS = 3
+
+
+@query("q_segment_dedup", oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), segs AS (
+  SELECT doc_id, lang,
+         unnest([md5(array_to_string(toks[(j*{_SEG_WORDS}+1):(j*{_SEG_WORDS}+{_SEG_WORDS})], ' '))
+                 for j in range(0, CAST(ceil(len(toks)/{_SEG_WORDS}.0) AS INT))]) AS seg_key
+  FROM w
+), freq AS (
+  SELECT seg_key, count(DISTINCT doc_id) AS n_docs_with
+  FROM segs GROUP BY seg_key
+)
+SELECT s.doc_id, s.lang,
+       count(*)                                            AS n_segments,
+       CAST(sum(CASE WHEN f.n_docs_with >= {_SEG_BOILER_MIN_DOCS}
+                     THEN 1 ELSE 0 END) AS BIGINT)         AS n_boilerplate,
+       ROUND(CAST(sum(CASE WHEN f.n_docs_with >= {_SEG_BOILER_MIN_DOCS}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS boiler_ratio
+FROM segs s JOIN freq f ON s.seg_key = f.seg_key
+GROUP BY s.doc_id, s.lang
+""")
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate scoring (the CCNet/RefinedWeb
+    common-line-removal shape, on 10-word segments since the fixture has
+    no newlines): split every doc into consecutive word chunks, hash each
+    chunk, count how many DISTINCT docs contain each hash corpus-wide,
+    and score each doc by the fraction of its segments that are
+    boilerplate (seen in ≥ {_SEG_BOILER_MIN_DOCS} docs).
+
+    Scale shape: explode → hash-agg on 16-byte md5 digests (never segment
+    text) → join the per-segment frequency back → per-doc re-agg. Both
+    shuffles are digest-keyed hash exchanges with map-side partials —
+    exactly N1 exact-dedup mechanics applied at sub-document granularity.
+    Production follow-up (not materialized here) rebuilds the cleaned
+    text by filtering each doc's segment list against the boilerplate
+    set."""
+    toks = ws_tokens("text")
+    w = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("toks")
+    )
+    segs = w.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            f"CASE WHEN size(toks) = 0 THEN array() ELSE"
+            f" transform(sequence(0, CAST(ceil(size(toks)/{_SEG_WORDS}.0) AS INT) - 1),"
+            f" j -> md5(array_join(slice(toks, j*{_SEG_WORDS}+1, {_SEG_WORDS}), ' ')))"
+            f" END"
+        )).alias("seg_key"),
+    )
+    freq = segs.groupBy("seg_key").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    is_boiler = (F.col("n_docs_with") >= _SEG_BOILER_MIN_DOCS).cast("long")
+    return (
+        segs.join(freq, "seg_key")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(is_boiler).alias("n_boilerplate"),
+            F.round(
+                F.sum(is_boiler).cast("double") / F.count(F.lit(1)), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+#: the held-out "benchmark" source treated as the eval set for
+#: decontamination, and the n-gram width used for overlap detection
+#: (8 consecutive words — the common train/test-contamination unit).
+_DECON_EVAL_SOURCE = "src1"
+_DECON_GRAM = 8
+
+
+@query("q_decontaminate", oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct([array_to_string(toks[i:i+{_DECON_GRAM - 1}], ' ')
+                for i in range(1, len(toks) - {_DECON_GRAM - 2})])) AS gram
+  FROM w
+  WHERE len(toks) >= {_DECON_GRAM}
+), e AS (
+  SELECT DISTINCT gram FROM g WHERE source = '{_DECON_EVAL_SOURCE}'
+)
+SELECT t.doc_id, t.lang,
+       count(DISTINCT t.gram) AS n_shared_grams
+FROM g t JOIN e ON t.gram = e.gram
+WHERE t.source <> '{_DECON_EVAL_SOURCE}'
+GROUP BY t.doc_id, t.lang
+""")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    {_DECON_GRAM}-word n-gram with the held-out eval source
+    ('{_DECON_EVAL_SOURCE}') — the standard pre-training hygiene pass
+    that removes eval-set leakage before training.
+
+    Scale shape: the eval side of a decontamination job is always tiny
+    relative to the corpus (benchmarks are KBs, training data is TBs), so
+    the distinct eval-gram set is BROADCAST and the corpus-side explode
+    streams through a map-side hash probe — no corpus shuffle at all;
+    only the final per-doc count aggregates. Exact n-gram match, fully
+    oracle-checkable; production variants lower-case/normalize before
+    hashing."""
+    from spark_ml_spark.functions.text import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(word_shingles(F.col("text"), _DECON_GRAM)).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == _DECON_EVAL_SOURCE)
+        .select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != _DECON_EVAL_SOURCE)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )

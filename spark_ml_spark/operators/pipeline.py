@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from spark_ml_spark.functions.text import ws_tokens
 from spark_ml_spark.io.sources import load
 from spark_ml_spark.registry import query
 
@@ -270,4 +271,100 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_positive"),
         F.round(F.array_max(F.transform(as_dbl, F.abs)), 4)
         .alias("linf_norm"),
+    )
+
+
+#: context-window token budget for sequence packing (tokens per bin)
+_PACK_BUDGET = 2048
+
+_NTOK_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+@query("q_token_packing", oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, {_NTOK_SQL} AS n_tok FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       count(*)                  AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id)               AS first_doc,
+       max(doc_id)               AS last_doc
+FROM c GROUP BY source, bin_id
+""")
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget context
+    bins (concat-and-chunk, the standard pretraining packer) — per
+    source, stream docs in doc_id order, accumulate token counts, and a
+    doc's bin is the budget-block its first token lands in.
+
+    Deterministic (pure function of the ordered stream, no RNG), so it is
+    oracle-checkable and stable under retries. Scale shape: the running
+    sum is a window partitioned by ``source`` — each source packs
+    independently in parallel, which is exactly how a 100 TB tokenization
+    job shards; no global sort, no single-partition window. Skew bound =
+    the largest single source; sub-shard by (source, date) in production
+    if one source dominates."""
+    toks = ws_tokens("text")
+    t = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(toks).alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "source", "doc_id", "n_tok",
+            F.floor((F.col("cum") - F.col("n_tok")) / _PACK_BUDGET)
+            .alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query("q_domain_mix", oracle=f"""
+WITH t AS (
+  SELECT source, lang, {_NTOK_SQL} AS n_tok FROM documents
+), tot AS (
+  SELECT CAST(sum(n_tok) AS DOUBLE) AS all_tokens FROM t
+)
+SELECT source, lang,
+       count(*)                                   AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)                 AS total_tokens,
+       ROUND(sum(n_tok) / tot.all_tokens, 6)      AS token_share
+FROM t, tot
+GROUP BY source, lang, tot.all_tokens
+""")
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition (data-mixture) report: token counts and share
+    of the total token budget per (source, lang) — the table every
+    pretraining run is tuned against (domain weights). One scan + one
+    hash agg; the corpus-total divisor is a 1-row broadcast, NOT an
+    unpartitioned window (which would serialize all groups through one
+    partition at scale)."""
+    toks = ws_tokens("text")
+    t = load(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(toks).alias("n_tok")
+    )
+    per = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    tot = t.agg(F.sum("n_tok").cast("double").alias("all_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "total_tokens",
+        F.round(F.col("total_tokens") / F.col("all_tokens"), 6)
+        .alias("token_share"),
     )

@@ -416,3 +416,105 @@ def q_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l2_dist", 4).alias("l2_dist"),
         )
     )
+
+
+@query("q_semantic_dedup", oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.embedding, c.ce),
+                      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                      c.cell_id) AS rn
+    FROM embeddings e, cent c)
+  WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_ORACLE_COS.format(a="ea.embedding", b="eb.embedding")} >= 0.4
+)
+SELECT s.cell_id,
+       count(*)                           AS n_vecs,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                          AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                          AS n_kept
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+GROUP BY s.cell_id
+""")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-shaped: coarse-cluster
+    the corpus with the deterministic IVF quantizer, then WITHIN each
+    cell drop the higher-id member of any pair with cosine ≥ 0.4;
+    report per-cell kept/dropped counts.
+
+    This is the scale-correct decomposition of semantic dedup: the
+    cluster assignment is one broadcast-centroids map pass (the
+    embedding table never shuffles for quantization), and pairwise
+    comparison happens only INSIDE a cell — per-cell work is bounded by
+    cell population, and production scales n_cells ∝ corpus size to hold
+    cells constant (cells are also how SemDeDup itself bounds its O(n²)).
+    The within-cell pair join is a hash equi-join on cell_id; the
+    verify is the unrolled codegen cosine (functions.vector). Greedy
+    keep-lowest-id is used instead of keep-centroid-nearest so the
+    result is a pure function of the pair set (order-free, exactly
+    reproducible by the oracle)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql import Window as W
+
+    w_assign = W.partitionBy("vec_id").orderBy(
+        l2sq(F.col("emb"), F.col("ce")), "cell_id"
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell_id")
+    )
+    a = assign.select(
+        F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
+    )
+    b = assign.select(
+        F.col("cell_id"), F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")
+    )
+    dropped = (
+        a.join(b, on=["cell_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_explicit(F.col("ea"), F.col("eb"), _EMB_DIM) >= 0.4)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1).cast("long"))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0).cast("long")))
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("n_kept"),
+        )
+    )

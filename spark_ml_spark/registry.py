@@ -53,22 +53,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: round-over-round continuity, so after round 2 every registered query
 #: has at least one driver-verified CORRECTNESS row.
 _GRADED_WINDOW = (
-    # flagship anchors (driver-green in r1, kept in-window)
+    # flagship anchors (driver-green in r1, kept in-window for
+    # round-over-round continuity)
     "q_flagship",
     "q_star_join",
-    "q_groupby_agg",
-    "q_asof_join",
-    "q_range_join",
-    "q_ml_features",
-    "q_rmse",
     "q_exact_dedup",
     "q_minhash_native",
-    # dedup / near-dup family (ungraded in r1)
+    # dedup / near-dup family (ungraded in r1, or new in r2)
     "q_simhash_buckets",
     "q_llm_pipeline",
     "q_ngram_jaccard",
     "q_fuzzy_dedup_levenshtein",
     "q_dedup_clusters",
+    "q_segment_dedup",
+    "q_decontaminate",
+    "q_semantic_dedup",
+    "q_token_packing",
+    "q_domain_mix",
     # similarity / ANN family
     "q_cosine_topk",
     "q_embedding_neardup",

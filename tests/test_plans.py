@@ -111,6 +111,24 @@ def test_ntile_no_unpartitioned_window(spark, sf_dir):
             assert "windowspecdefinition(pid" in line, line
 
 
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side of decontamination must broadcast (benchmark
+    sets are tiny vs the corpus); the corpus side must never shuffle its
+    exploded grams for the probe."""
+    plan = plan_of(spark, "q_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_digest_joins(spark, sf_dir):
+    """Segment-frequency boilerplate scoring: equi-joins/aggregations on
+    md5 digests only — no nested loop, no Python."""
+    plan = plan_of(spark, "q_segment_dedup", sf_dir)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_partition_pruning(spark, sf_dir):
     """The year filter must become a PartitionFilter on the partitioned
     layout (directory skip), not a row-level DataFilter."""
