@@ -77,3 +77,20 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         parts,
     )
     return F.array_distinct(joined)
+
+
+def word_ngrams_all(text: Column | str, k: int = 3) -> Column:
+    """ALL k-word n-grams in order, duplicates preserved — the unit for
+    intra-document repetition scoring (dedup wants the distinct set,
+    repetition measurement needs the multiset). Same shifted-slice
+    zip_with construction as :func:`word_shingles`."""
+    from functools import reduce
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, n) for j in range(k)]
+    return reduce(
+        lambda acc, p: F.zip_with(acc, p, lambda x, y: F.concat_ws(" ", x, y)),
+        parts,
+    )

