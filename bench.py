@@ -53,6 +53,13 @@ HEADLINE = (
     "q_sql_tpch_q18",
     "q_range_join",
     "q_asof_join",
+    # round-2 training-data pipeline additions
+    "q_segment_dedup",
+    "q_decontaminate",
+    "q_semantic_dedup",
+    "q_token_packing",
+    "q_domain_mix",
+    "q_repetition_score",
 )
 
 

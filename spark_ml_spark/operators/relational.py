@@ -672,6 +672,46 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sliding_window", oracle="""
+WITH s AS (
+  SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS base,
+         event_type, value
+  FROM events
+), w AS (
+  SELECT unnest([base, base - 1800]) AS win_start, event_type, value FROM s
+)
+SELECT win_start,
+       win_start + 3600     AS win_end,
+       event_type,
+       count(*)             AS n_events,
+       ROUND(sum(value), 4) AS sum_value
+FROM w GROUP BY win_start, event_type
+""")
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h width, 30 min slide) as a batch
+    aggregation — every event lands in exactly width/slide = 2 windows
+    (``F.window`` emits the per-event window list via one Expand, no
+    self-union, no double scan). Emitted with epoch-second bounds so the
+    oracle (which unrolls the two window starts arithmetically) is
+    timezone-proof. Scale: the shuffle carries 2× rows pre-aggregated by
+    map-side partials — same shape as tumbling, one extra Expand."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            F.unix_timestamp("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 @query("q_asof_join", oracle="""
 SELECT c.event_id, c.ts, c.user_id,
        p.event_id AS purchase_event_id, p.value AS purchase_value

@@ -174,6 +174,43 @@ _IVF_K = 16
 _IVF_NPROBE = 4
 
 
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a MAP-SIDE argmin fold over one
+    broadcast row holding all centroids (sorted by cell_id; strict `<`
+    keeps the lowest cell_id on distance ties — the same order as the
+    oracles' row_number over (distance, cell_id)). The embedding table
+    never shuffles for quantization: no cross-product window, no
+    single-partition sort — adds a ``cell_id`` column to ``emb``."""
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "ce"))).alias("cents")
+    )
+    best = F.aggregate(
+        "cents",
+        F.struct(
+            F.lit(-1).cast("bigint").alias("cell_id"),
+            F.lit(float("inf")).alias("dist"),
+        ),
+        lambda acc, c: F.when(
+            _l2sq(F.col("emb"), c["ce"]) < acc["dist"],
+            F.struct(
+                c["cell_id"].alias("cell_id"),
+                _l2sq(F.col("emb"), c["ce"]).alias("dist"),
+            ),
+        ).otherwise(acc),
+    )
+    return emb.crossJoin(F.broadcast(cents_row)).select(
+        *emb.columns, best["cell_id"].alias("cell_id")
+    )
+
+
 @query("q_ivf_topk", oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
@@ -227,34 +264,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
     )
-
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    from pyspark.sql import Window as W
-
-    # assign: nearest centroid per vector (broadcast K centroids — the
-    # embedding table itself never shuffles for quantization)
-    w_assign = W.partitionBy("vec_id").orderBy(l2sq(F.col("emb"), F.col("ce")), "cell_id")
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "emb", "cell_id")
-    )
+    # map-side argmin assignment (shared helper — no window shuffle)
+    assign = _assign_cells(emb, cent)
 
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
-    # probe list: the query's nprobe nearest cells (K rows total — driver-ish
-    # sized work, still expressed as a plan)
-    w_probe = W.orderBy(l2sq(F.col("qe"), F.col("ce")), "cell_id")
+    # probe list: the query's nprobe nearest cells — TakeOrderedAndProject
+    # over K rows, not an unpartitioned window (which would log the
+    # single-partition WindowExec warning this repo bans)
     probed = (
         cent.crossJoin(F.broadcast(qvec))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _IVF_NPROBE)
+        .orderBy(_l2sq(F.col("qe"), F.col("ce")), "cell_id")
+        .limit(_IVF_NPROBE)
         .select("cell_id")
     )
 
@@ -472,47 +492,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("ce")
     )
-
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # assignment as a MAP-SIDE argmin fold over one broadcast row holding
-    # all centroids (sorted by cell_id; strict `<` keeps the lowest
-    # cell_id on distance ties — same order as the oracle's row_number).
-    # The previous window formulation shuffled the (vector × centroid)
-    # cross product including both arrays; this never shuffles the
-    # embedding table at all.
-    cents_row = cent.agg(
-        F.sort_array(F.collect_list(F.struct("cell_id", "ce"))).alias("cents")
-    )
-    best = F.aggregate(
-        "cents",
-        F.struct(
-            F.lit(-1).cast("bigint").alias("cell_id"),
-            F.lit(float("inf")).alias("dist"),
-        ),
-        lambda acc, c: F.when(
-            l2sq(F.col("emb"), c["ce"]) < acc["dist"],
-            F.struct(
-                c["cell_id"].alias("cell_id"),
-                l2sq(F.col("emb"), c["ce"]).alias("dist"),
-            ),
-        ).otherwise(acc),
-    )
-    # persisted: the assignment feeds three consumers (both pair-join
-    # sides + the final per-cell agg) — in production this is the
-    # "assignment table written once, partitioned BY cell_id" step.
+    # map-side argmin assignment (shared helper — no window shuffle),
+    # persisted: it feeds three consumers (both pair-join sides + the
+    # final per-cell agg) — in production this is the "assignment table
+    # written once, partitioned BY cell_id" step.
     from pyspark import StorageLevel
 
-    assign = (
-        emb.crossJoin(F.broadcast(cents_row))
-        .select("vec_id", "emb", best["cell_id"].alias("cell_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    assign = _assign_cells(emb, cent).persist(StorageLevel.MEMORY_AND_DISK)
     a = assign.select(
         F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
     )
