@@ -1043,3 +1043,95 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_id").alias("clicks_before"),
         F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("click_value"),
     )
+
+
+#: fixed histogram bounds for l_extendedprice (TPC-H price domain is
+#: [~900, ~105000] at every SF — constants, so both engines bin identically
+#: without a data-dependent min/max pre-pass)
+_HIST_LO = 900.0
+_HIST_HI = 105000.0
+_HIST_BINS = 10
+_HIST_WIDTH = (_HIST_HI - _HIST_LO) / _HIST_BINS
+
+
+@query("q_histogram", oracle=f"""
+SELECT CAST(least(greatest(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH}), 0),
+                  {_HIST_BINS - 1}) AS BIGINT)                    AS bin_id,
+       ROUND({_HIST_LO} + least(greatest(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH}), 0),
+                  {_HIST_BINS - 1}) * {_HIST_WIDTH}, 2)           AS bin_lo,
+       count(*)                                                   AS n_rows,
+       ROUND(avg(l_extendedprice), 4)                             AS bin_mean
+FROM lineitem
+GROUP BY 1, 2
+""")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 bins over the known price domain) — the
+    standard profiling pass. Static bounds keep it ONE scan + one hash
+    agg (a data-dependent min/max would cost an extra full pass at
+    100 TB; profile jobs pin domain constants or reuse yesterday's);
+    clamping folds outliers into the edge bins."""
+    x = F.col("l_extendedprice")
+    bin_id = F.least(
+        F.greatest(F.floor((x - _HIST_LO) / _HIST_WIDTH), F.lit(0)),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            bin_id.cast("bigint").alias("bin_id"),
+            F.round(_HIST_LO + bin_id * _HIST_WIDTH, 2).alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(x), 4).alias("bin_mean"),
+        )
+    )
+
+
+@query("q_corr_matrix", oracle="""
+SELECT ROUND(corr(l_quantity, l_extendedprice), 4)  AS qty_price,
+       ROUND(corr(l_quantity, l_discount), 4)       AS qty_disc,
+       ROUND(corr(l_extendedprice, l_discount), 4)  AS price_disc,
+       ROUND(corr(l_extendedprice, l_tax), 4)       AS price_tax
+FROM lineitem
+""")
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    ONE aggregation pass (the feature-screening step before modeling) —
+    the reference profiles columns one full CSV re-read at a time
+    (``Data_transform.py:134-150``); here all pairs share a single scan
+    and map-side partial moments."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("price_tax"),
+    )
+
+
+@query("q_upsert_latest", oracle="""
+SELECT user_id, event_id, ts, ROUND(value, 4) AS value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record view (SCD-1 / upsert compaction): one row per key,
+    the most recent by (ts, event_id) — how a mutable-key table is
+    compacted from an append-only event log. Partitioned window + rn=1
+    (WindowGroupLimit pushes the limit into the sort, so no partition
+    ever materializes a full user history); at 100 TB this runs
+    incrementally per ingest batch against the previous compaction."""
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
+    )
