@@ -273,3 +273,47 @@ def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("mean_predictor").alias("model"), "rmse")
     )
+
+
+@query("q_logreg_classify")  # rows-only: iterative solver, engine-specific
+def q_logreg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass classification (the surface the regression-only
+    reference lacks): logistic regression over the embeddings table,
+    label = the 10-class ``label`` column, features = the raw embedding.
+
+    Deterministic end-to-end: the train/test split is md5-hash-gated (the
+    same scale-correct split as ``q_hash_split`` — no RNG state), and
+    L-BFGS with fixed params converges to the same optimum regardless of
+    partitioning. Rows-only (an iterative solver isn't SQL-expressible);
+    the structural invariant (tests/test_api.py) is accuracy above the
+    1/k=0.1 chance baseline — the fixture's embeddings are only weakly
+    label-separable (measured 0.146 at sf0.01), so the op demonstrates
+    the pipeline, not a feat of modeling. Scale: MLlib LR is one
+    tree-aggregated gradient pass per iteration — no driver-side data,
+    state is one dense coefficient matrix."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    from spark_ml_spark.functions.vector import to_double_array
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(to_double_array("embedding")).alias("features"),
+    )
+    gate = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8)
+    train = emb.filter(gate < "cccccccd")   # ~80%
+    test = emb.filter(gate >= "cccccccd")   # ~20%
+    lr = LogisticRegression(maxIter=50, regParam=0.01, featuresCol="features",
+                            labelCol="label")
+    model = lr.fit(train)
+    preds = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(preds)
+    n_train, n_test = train.count(), preds.count()
+    return spark.createDataFrame(
+        [("logreg", n_train, n_test, round(float(acc), 4))],
+        "model string, n_train long, n_test long, accuracy double",
+    )

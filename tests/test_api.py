@@ -147,3 +147,15 @@ def test_csv_multiline_roundtrip(spark, tmp_path):
             .option("escape", "\\").option("multiLine", True).csv(out))
     got = sorted([tuple(r) for r in back.collect()])
     assert got == sorted(rows)
+
+
+def test_logreg_classify_above_chance(spark, sf_dir):
+    """Deterministic end-to-end classification: hash-gated split + L-BFGS
+    → accuracy must beat the 10-class chance baseline (weakly separable
+    fixture; the value is deterministic, so this cannot flake)."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    row = queries["q_logreg_classify"](spark, sf_dir).collect()[0]
+    assert row.n_train + row.n_test == 500
+    assert row.accuracy > 0.1
