@@ -281,16 +281,17 @@ def q_logreg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference lacks): logistic regression over the embeddings table,
     label = the 10-class ``label`` column, features = the raw embedding.
 
-    Deterministic end-to-end: the train/test split is md5-hash-gated (the
-    same scale-correct split as ``q_hash_split`` — no RNG state), and
-    L-BFGS with fixed params converges to the same optimum regardless of
-    partitioning. Rows-only (an iterative solver isn't SQL-expressible);
-    the structural invariant (tests/test_api.py) is accuracy above the
-    1/k=0.1 chance baseline — the fixture's embeddings are only weakly
-    label-separable (measured 0.146 at sf0.01), so the op demonstrates
-    the pipeline, not a feat of modeling. Scale: MLlib LR is one
-    tree-aggregated gradient pass per iteration — no driver-side data,
-    state is one dense coefficient matrix."""
+    The train/test split is md5-hash-gated (the same scale-correct split
+    as ``q_hash_split`` — no RNG state). Rows-only (an iterative solver
+    isn't SQL-expressible). Honesty note: the fixture's embeddings carry
+    almost no label signal, so accuracy sits at the 10-class chance
+    level (~0.09-0.15 at sf0.01) and wobbles with the float summation
+    order of ``treeAggregate`` gradients across partitionings — the op
+    demonstrates the distributed classification pipeline (hash split →
+    L-BFGS fit → evaluator), not a modeling feat, and the test asserts
+    structure, not accuracy. Scale: MLlib LR is one tree-aggregated
+    gradient pass per iteration — no driver-side data, state is one
+    dense coefficient matrix."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.functions import array_to_vector
