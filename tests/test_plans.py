@@ -224,3 +224,15 @@ def test_array_functions_no_explode(spark, sf_dir):
     plan = plan_of(spark, "q_array_functions", sf_dir)
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_session_scale_confs(spark):
+    """The scale knobs the 100 TB posture depends on must be ON in every
+    session the factory builds: AQE (runtime re-planning), partition
+    coalescing, skew-join splitting, Arrow for the Pandas-UDF escape
+    hatch, and a pinned UTC session timezone (oracle determinism)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
