@@ -1135,3 +1135,52 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
     )
+
+
+@query("q_bucketed_join", oracle="""
+SELECT o_custkey,
+       count(*)                         AS n_items,
+       ROUND(sum(l_extendedprice), 2)   AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+""")
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through BUCKETED storage (api.write_bucketed): both
+    sides hash-bucketed+sorted on the join key, so the join needs NO
+    exchange on either side — each bucket pair merges locally. This is
+    the single biggest 100 TB lever in the star schema: the
+    lineitem⋈orders shuffle becomes a co-located merge, paid once at
+    write time and amortized over every subsequent join on that key
+    (tests/test_bucketed_join.py asserts the exchange-free plan with
+    broadcast disabled). Results must equal the plain shuffle join — the
+    oracle runs the ordinary join."""
+    import hashlib
+    import os
+
+    from spark_ml_spark.api import write_bucketed
+    from spark_ml_spark.io.sources import _CACHE_DIR
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(_CACHE_DIR, f"bucketed_{key}")
+    li_t, o_t = f"lineitem_bq_{key}", f"orders_bq_{key}"
+    # idempotent per (session, sf): bucket metadata lives in the catalog
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+            li_t, os.path.join(base, li_t), "l_orderkey",
+        )
+    if not spark.catalog.tableExists(o_t):
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            o_t, os.path.join(base, o_t), "o_orderkey",
+        )
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -267,3 +267,84 @@ def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query("q_stream_to_parquet", oracle="""
+SELECT event_id, user_id, ROUND(value, 4) AS value
+FROM events
+WHERE event_type = 'purchase' AND value > 50
+""")
+def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → PARQUET FILE SINK with checkpointing (the production
+    sink shape, unlike the memory-sink test harness): a stateless
+    filter/projection stream lands as parquet with exactly-once file
+    commits (the checkpoint's offset log + the sink's file manifest make
+    replays idempotent). The returned DataFrame re-reads the committed
+    files; the oracle is the equivalent batch filter — streaming a
+    historical dataset through the sink must land exactly the batch
+    answer. Stateless ⇒ no watermark needed and append mode is natural;
+    run-to-run the checkpoint prevents double-processing."""
+    import hashlib
+    import os
+
+    from spark_ml_spark.io.sources import _CACHE_DIR
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(_CACHE_DIR, f"stream_parquet_{key}")
+    ckpt = os.path.join(_CACHE_DIR, f"stream_parquet_ckpt_{key}")
+    stream = _read_events_stream(spark, sf_dir)
+    filtered = (
+        stream.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+    q = (
+        filtered.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@query("q_stream_sliding_window", oracle="""
+WITH s AS (
+  SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS base,
+         event_type, value
+  FROM events
+), w AS (
+  SELECT unnest([base, base - 1800]) AS win_start, event_type, value FROM s
+)
+SELECT win_start,
+       win_start + 3600     AS win_end,
+       event_type,
+       count(*)             AS n_events,
+       ROUND(sum(value), 4) AS sum_value
+FROM w GROUP BY win_start, event_type
+""")
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation (1 h width / 30 min slide,
+    watermarked): every event updates width/slide = 2 window states —
+    Structured Streaming's overlapping-window state management, emitted
+    with epoch-second bounds so the same arithmetic oracle as the batch
+    twin (``q_sliding_window``) applies. Streaming replay of historical
+    data must equal the batch plan — the unified-model guarantee."""
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            F.unix_timestamp("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "complete")
