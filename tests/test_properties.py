@@ -116,3 +116,42 @@ def test_l1_normalize_property(spark, vals):
             assert sum(v for g, v in vals if g == r.grp) == 0.0
     for g, s in sums.items():
         assert abs(s - 1.0) < 1e-9
+
+
+def test_token_packing_invariants(spark, sf_dir):
+    """Packing conservation laws: per source, bin token sums add up to the
+    source's total tokens; doc counts add up to the source's doc count;
+    bin_ids start at 0 with no gaps."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_spark.io.sources import load
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    bins = queries["q_token_packing"](spark, sf_dir).collect()
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tok"), F.count(F.lit(1)).alias("docs"))
+        .collect()
+    )
+    want = {r.source: (r.tok, r.docs) for r in docs}
+    by_source: dict[str, list] = {}
+    for b in bins:
+        by_source.setdefault(b.source, []).append(b)
+    assert set(by_source) == set(want)
+    for src, rows in by_source.items():
+        assert sum(r.bin_tokens for r in rows) == want[src][0]
+        assert sum(r.n_docs for r in rows) == want[src][1]
+        ids = sorted(r.bin_id for r in rows)
+        assert ids == list(range(len(ids)))  # dense from 0: sequential fill
+
+
+def test_domain_mix_shares_sum_to_one(spark, sf_dir):
+    """Token shares across all (source, lang) cells must sum to ~1."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    rows = queries["q_domain_mix"](spark, sf_dir).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
