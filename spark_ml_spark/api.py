@@ -119,8 +119,26 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_key"),
     )
+    return bucket_pairs(band_rows, ("band_idx", "band_key"))
+
+
+def bucket_pairs(
+    band_rows: DataFrame, bucket_cols: tuple[str, ...] = ("band_idx", "band_key")
+) -> DataFrame:
+    """Distinct unordered id pairs co-located in any bucket: group a
+    (doc_id, *bucket_cols) frame by bucket, expand each bucket's id list
+    into its C(n,2) pairs, and dedup across buckets. ONE shuffle (the
+    bucket group-by) + the dedup; each unordered pair is generated once,
+    where a bucket-key self-join matches both orientations and filters
+    half away (wall-clock is within noise of the self-join at test SF —
+    the win is one fewer exchange and shared code across every banded-LSH
+    candidate stage: MinHash text dedup, sign-LSH embedding dedup).
+    Scale caveat: a pathologically hot bucket concentrates its C(n,2)
+    expansion (and its collect_list) on one task — cap bucket size
+    upstream (more bits per band, as both callers document) or fall back
+    to the self-join form, which AQE can skew-split."""
     buckets = (
-        band_rows.groupBy("band_idx", "band_key")
+        band_rows.groupBy(*bucket_cols)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )

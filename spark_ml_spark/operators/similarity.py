@@ -135,24 +135,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_NB_BITS)
         ])
 
+    from spark_ml_spark.api import bucket_pairs
+
     bands = emb.select(
-        "vec_id",
+        F.col("vec_id").alias("doc_id"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"), band_key(b).alias("band_key"))
             for b in range(_NB_BANDS)
         ])).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            on=(F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    # bucket-collect pair expansion (api.bucket_pairs): one group-by
+    # shuffle, each unordered pair generated once (vs the band-key
+    # self-join's two orientations + dedup; equal wall-clock at test SF,
+    # one fewer exchange — see bucket_pairs for the hot-bucket caveat)
+    cand = bucket_pairs(bands, ("band_id", "band_key")).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
 
     # verify on the raw float arrays with an unrolled codegen cosine —
