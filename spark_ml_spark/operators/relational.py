@@ -1184,3 +1184,59 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@query("q_custom_udaf", oracle="""
+SELECT l_returnflag,
+       ROUND(exp(avg(ln(l_quantity))), 4) AS geomean_qty,
+       count(*)                           AS n_rows
+FROM lineitem
+WHERE l_quantity > 0
+GROUP BY l_returnflag
+""")
+def q_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (§2.11's sanctioned escape hatch): a grouped-agg
+    ``pandas_udf`` computing the geometric mean — Arrow ships each
+    group's column as ONE vectorized batch to Python (AggregateInPandas
+    in the plan), never row-at-a-time pickling (BatchEvalPython stays
+    banned). The same statistic is closed-form SQL (exp∘avg∘ln), which
+    is exactly what makes it oracle-checkable; a UDAF is the right tool
+    when the per-group computation is NOT expressible (sklearn calls,
+    custom sketches) — this query proves the surface works and that the
+    Arrow path agrees with the relational algebra to 4 decimals.
+
+    Scale: grouped-agg pandas UDFs materialize each GROUP on one
+    executor (no partial aggregation) — fine for bounded groups like the
+    3 return flags; for high-cardinality keys prefer expression algebra
+    or a two-stage partial design."""
+    # NOTE: the signature must use REAL types resolvable at decoration
+    # time — under `from __future__ import annotations` the hints are
+    # strings and pandas_udf resolves them against the function globals,
+    # so `pd` must be a module-level import.
+    import pandas as pd
+
+    def _geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v).mean()))
+
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = F.pandas_udf(_geomean, "double")
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a pandas UDAF too
+    def _ncount(v: pd.Series) -> int:
+        return int(len(v))
+
+    _ncount.__annotations__ = {"v": pd.Series, "return": int}
+    ncount = F.pandas_udf(_ncount, "long")
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(geomean("l_quantity"), 4).alias("geomean_qty"),
+            ncount("l_quantity").alias("n_rows"),
+        )
+    )

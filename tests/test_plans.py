@@ -236,3 +236,13 @@ def test_session_scale_confs(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_custom_udaf_is_arrow_not_pickle(spark, sf_dir):
+    """§2.11: the custom aggregate must go through the Arrow grouped-agg
+    path (AggregateInPandas), never row-pickling BatchEvalPython."""
+    plan = plan_of(spark, "q_custom_udaf", sf_dir)
+    # Spark 4.x names the Arrow grouped-agg node ArrowAggregatePython
+    # (older releases: AggregateInPandas)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
