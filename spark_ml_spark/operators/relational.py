@@ -1197,7 +1197,7 @@ GROUP BY l_returnflag
 def q_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate (§2.11's sanctioned escape hatch): a grouped-agg
     ``pandas_udf`` computing the geometric mean — Arrow ships each
-    group's column as ONE vectorized batch to Python (AggregateInPandas
+    group's column as ONE vectorized batch to Python (ArrowAggregatePython
     in the plan), never row-at-a-time pickling (BatchEvalPython stays
     banned). The same statistic is closed-form SQL (exp∘avg∘ln), which
     is exactly what makes it oracle-checkable; a UDAF is the right tool
