@@ -110,11 +110,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where band_key is the sign pattern of ``_NB_BITS`` coordinate
     hyperplanes (random-hyperplane LSH with axis-aligned planes — valid
     because the corpus is near-isotropic; per-bit collision probability
-    for angle θ is 1-θ/π). Same-bucket pairs come from a hash equi-join
-    on (band_id, band_key) carrying ONLY ids — no embedding arrays move
-    through the candidate join (pitfall: exploded joins must stay slim).
-    Verify: exact double-precision cosine, recomputed after re-joining
-    payloads for the surviving candidate ids only.
+    for angle θ is 1-θ/π). Same-bucket pairs come from the bucket-collect
+    pair expansion (``api.bucket_pairs``) carrying ONLY ids — no
+    embedding arrays move through the candidate stage (pitfall: exploded
+    joins must stay slim). Verify: exact double-precision cosine,
+    recomputed after re-joining payloads for the surviving candidate ids
+    only.
 
     The banding is deterministic and replicated verbatim in the DuckDB
     oracle, so the approximate result is still exactly oracle-checkable.

@@ -25,3 +25,33 @@ def test_ivf_kmeans_recall_vs_exact(spark, sf_medium):
     # corpus is below IVF's useful regime (see q_ivf_kmeans_topk docstring)
     exact = _ids(spark, "q_cosine_topk", sf_medium)
     assert len(exact & _ids(spark, "q_ivf_kmeans_topk", sf_medium)) >= 8
+
+
+def test_embedding_neardup_recall_vs_exact(spark, sf_dir):
+    """Sign-LSH banded near-dup recall against the exact all-pairs ground
+    truth (computed here with a cross join — fine at test SF, which is
+    exactly why the registered query doesn't do it): the banding is
+    deterministic, so recall is a fixed, measurable property — 48/59 at
+    sf0.01 with 8 bands × 4 sign bits. Guard at ≥0.75 so parameter
+    changes that silently gut recall fail loudly."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_spark.functions.vector import cosine_explicit
+    from spark_ml_spark.io.sources import load
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_embedding_neardup"](spark, sf_dir).collect()
+    }
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_explicit(F.col("ea"), F.col("eb"), 64) >= 0.4)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    assert got <= exact           # verify stage: zero false positives
+    assert len(got) / len(exact) >= 0.75
