@@ -35,9 +35,12 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            # driver-style stabilization: floats rounded in-query already;
-            # this guards against representation noise only
-            return round(v, 9)
+            # the driver hashes floats at 6 significant digits; matching it
+            # exactly (rather than a stricter decimal round) keeps this test
+            # equivalent to the gate it mirrors — a large ROUND(sum(...), 2)
+            # can legitimately differ by one ulp-of-a-cent between engines
+            # (float associativity) while hashing identically at %.6g
+            return f"{v:.6g}"
         if isinstance(v, int):
             return v
         return str(v)
