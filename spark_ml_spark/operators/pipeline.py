@@ -368,3 +368,142 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_tokens") / F.col("all_tokens"), 6)
         .alias("token_share"),
     )
+
+
+#: shard packing: fixed-size output shards in deterministic-shuffle order.
+_SHARD_SIZE = 100
+
+
+@query("q_shard_assign", oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey,
+         {_NTOK_SQL} AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, hkey, n_tok,
+         row_number() OVER (ORDER BY hkey, doc_id) AS rn
+  FROM h
+)
+SELECT CAST(FLOOR((rn - 1) / {_SHARD_SIZE}) AS BIGINT) AS shard_id,
+       count(*)                   AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       min(hkey)                  AS first_key,
+       max(hkey)                  AS last_key
+FROM r GROUP BY shard_id
+""")
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed-size shard assignment — the
+    "write the training shards" step: documents ordered by
+    md5(doc_id) (a reproducible permutation, the hash-order analogue of
+    the reference's unseeded shuffle at ``Data_transform.py:155``), then
+    packed into consecutive {_SHARD_SIZE}-doc shards.
+
+    The global order comes from :func:`api.global_rank` — two-phase
+    range-partition + broadcast prefix counts, NOT the single-partition
+    ``OVER (ORDER BY ...)`` the oracle uses (fine for DuckDB, a
+    scale-killer for Spark). Shard stats come from one hash agg on
+    shard_id. At 100 TB this is exactly a sort-based shuffle write:
+    range partitioning IS the shard boundary, so shard files come out of
+    executors in parallel with no post-pass."""
+    from spark_ml_spark.api import global_rank
+
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.size(ws_tokens("text")).alias("n_tok"),
+    )
+    r = global_rank(h, ["hkey", "doc_id"], rank_col="rn")
+    return (
+        r.select(
+            "hkey", "n_tok",
+            F.floor((F.col("rn") - 1) / _SHARD_SIZE).alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+            F.min("hkey").alias("first_key"),
+            F.max("hkey").alias("last_key"),
+        )
+    )
+
+
+#: temperature sampling: alpha=0.5 (mT5-style square-root temperature),
+#: target sample = 40% of the corpus.
+_TEMP_FRAC = 0.4
+
+
+@query("q_temperature_sample", oracle=f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS n_all,
+         sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_w
+  FROM per
+), tgt AS (
+  SELECT p.source, p.n_docs,
+         sqrt(CAST(p.n_docs AS DOUBLE)) / t.sum_w AS temp_weight,
+         LEAST(p.n_docs, CAST(FLOOR(sqrt(CAST(p.n_docs AS DOUBLE)) / t.sum_w
+                              * {_TEMP_FRAC} * t.n_all) AS BIGINT)) AS n_target
+  FROM per p, tot t
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, t.n_docs, ROUND(t.temp_weight, 6) AS temp_weight,
+       count(*) AS n_sampled, min(r.doc_id) AS min_doc, max(r.doc_id) AS max_doc
+FROM ranked r JOIN tgt t ON r.source = t.source
+WHERE r.rn <= t.n_target
+GROUP BY r.source, t.n_docs, t.temp_weight
+""")
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (the mT5/multilingual-corpus
+    balancing step): domain weights ∝ (n_d)^α with α=0.5 — sqrt is
+    correctly-rounded IEEE in both engines, so the weights are
+    bit-identical cross-engine (pow(x, 0.5) would not be) — then a
+    deterministic per-domain gate takes the first n_target docs in
+    md5-hash order.
+
+    The gate is a RANK threshold, not a float threshold: hash-order rank
+    within each domain is engine-exact (hex strings compare
+    lexicographically), where a computed double cutoff against a
+    hex-fraction would be a cross-engine boundary risk. The rank window
+    partitions by ``source`` — domains sample independently in parallel,
+    no global sort. Corpus totals ride one broadcast row, as in
+    :func:`q_domain_mix`."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("n_all"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_w"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_w")
+    tgt = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", w.alias("temp_weight"),
+        F.least(
+            F.col("n_docs"),
+            F.floor(w * _TEMP_FRAC * F.col("n_all")).cast("bigint"),
+        ).alias("n_target"),
+    )
+    rn_w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(rn_w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rn") <= F.col("n_target"))
+        .groupBy("source", "n_docs", "temp_weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            "source", "n_docs", F.round("temp_weight", 6).alias("temp_weight"),
+            "n_sampled", "min_doc", "max_doc",
+        )
+    )

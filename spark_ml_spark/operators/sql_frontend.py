@@ -171,30 +171,12 @@ def q_sql_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number; global rank is invariant to where the range boundaries
     fall, so sampling nondeterminism in the range partitioner cannot
     change the output."""
+    from spark_ml_spark.api import global_rank
+
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = orders.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    local = ranged.withColumn("rn", F.row_number().over(w_local))
-    # one row: sorted array of (pid, cnt) structs — broadcast, never collected
-    pcs = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).agg(
-        F.sort_array(F.collect_list(F.struct("pid", "cnt"))).alias("pcs")
-    )
-    with_offsets = local.join(F.broadcast(pcs)).select(
-        "o_orderkey",
-        (
-            F.col("rn").cast("bigint")
-            + F.aggregate(
-                F.filter("pcs", lambda p: p["pid"] < F.col("pid")),
-                F.lit(0).cast("bigint"),
-                lambda acc, p: acc + p["cnt"],
-            )
-        ).alias("price_rank"),
-        F.aggregate(
-            "pcs", F.lit(0).cast("bigint"), lambda acc, p: acc + p["cnt"]
-        ).alias("n_total"),
-    )
+    with_offsets = global_rank(
+        orders, ["o_totalprice", "o_orderkey"], rank_col="price_rank"
+    ).select("o_orderkey", "price_rank", "n_total")
     q = F.floor(F.col("n_total") / 4)          # small-bucket size
     r = F.col("n_total") % 4                   # number of ⌈n/4⌉-sized buckets
     big = q + 1

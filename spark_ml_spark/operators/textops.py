@@ -244,3 +244,98 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             top_count.cast("double") / F.nullif(F.size("toks"), F.lit(0)), 4
         ).alias("top_token_ratio"),
     )
+
+
+# PII regex library: shared Java-regex/RE2-compatible patterns (no
+# backreferences, no lookbehind — the RE2 subset DuckDB requires).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: deterministic synthetic-PII injection: the fixture corpus is clean
+#: word-salad, so each doc gets reproducible fake contact lines appended
+#: (email always; phone on doc_id%2; SSN on doc_id%3; IP on doc_id%5) —
+#: the redactor then has real work whose counts are oracle-checkable.
+_PII_INJECT_SQL = """
+  concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com',
+         CASE WHEN doc_id % 2 = 0
+              THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+              ELSE '' END,
+         CASE WHEN doc_id % 3 = 0 THEN ' ssn 987-65-4321' ELSE '' END,
+         CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.42.7' ELSE '' END)
+"""
+
+
+@query("q_pii_redact", oracle=f"""
+WITH injected AS (
+  SELECT doc_id, lang, {_PII_INJECT_SQL} AS text
+  FROM documents
+), redacted AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g'),
+                                '{_PII_SSN}'))         AS n_ssn,
+         len(regexp_extract_all(text, '{_PII_IP}'))    AS n_ip,
+         length(text) AS len_before,
+         length(regexp_replace(regexp_replace(regexp_replace(regexpreplace_ip, '{_PII_SSN}', '<SSN>', 'g'),
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g')) AS len_after
+  FROM (SELECT *, regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS regexpreplace_ip
+        FROM injected) i
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(sum(n_ssn) AS BIGINT)   AS ssns_redacted,
+       CAST(sum(n_ip) AS BIGINT)    AS ips_redacted,
+       CAST(sum(len_before - len_after) AS BIGINT) AS chars_removed
+FROM redacted
+GROUP BY lang
+""")
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the pre-training privacy pass): regex redaction of
+    emails / phone numbers / SSN-shaped ids / IPv4 addresses, as pure
+    JVM ``regexp_replace`` / ``regexp_count`` expressions — one map-side
+    scan, no shuffle until the per-lang report agg, no Python in the
+    data path.
+
+    The fixture corpus contains no organic PII, so the query first
+    APPENDS deterministic synthetic contact strings per doc (keyed on
+    doc_id — reproducible, oracle-replicable), then redacts them;
+    redaction counts and removed-char totals are exact in both engines.
+    Masking order is fixed and identical in both engines (IP, then SSN,
+    then email, then phone), and the SSN count runs over phone-masked
+    text so a phone's digit run can never double-count as an SSN;
+    patterns are RE2-safe (no backreferences, no lookaround) so Java
+    regex and DuckDB RE2 agree."""
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id", "lang",
+        F.expr(_PII_INJECT_SQL).alias("text"),
+    )
+    ip_masked = F.regexp_replace("text", _PII_IP, "<IP>")
+    phone_masked_for_ssn = F.regexp_replace("text", _PII_PHONE, "<PHONE>")
+    full_masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(ip_masked, _PII_SSN, "<SSN>"),
+            _PII_EMAIL, "<EMAIL>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    red = injected.select(
+        "lang",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(phone_masked_for_ssn, F.lit(_PII_SSN)).alias("n_ssn"),
+        F.regexp_count("text", F.lit(_PII_IP)).alias("n_ip"),
+        (F.length("text") - F.length(full_masked)).alias("delta"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_phone").alias("phones_redacted"),
+        F.sum("n_ssn").alias("ssns_redacted"),
+        F.sum("n_ip").alias("ips_redacted"),
+        F.sum("delta").alias("chars_removed"),
+    )

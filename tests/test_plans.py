@@ -108,7 +108,7 @@ def test_ntile_no_unpartitioned_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            assert "windowspecdefinition(pid" in line, line
+            assert "windowspecdefinition(_pid" in line, line
 
 
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
