@@ -60,6 +60,12 @@ HEADLINE = (
     "q_token_packing",
     "q_domain_mix",
     "q_repetition_score",
+    "q_shard_assign",
+    "q_pii_redact",
+    # round-2 TPC-H completion: the two heaviest new shapes (Q9 five-way
+    # fact join + Q21 semi/anti double correlation)
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q21",
 )
 
 
