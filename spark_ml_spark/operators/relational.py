@@ -1240,3 +1240,100 @@ def q_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ncount("l_quantity").alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-layout optimization: Morton (z-order) clustering
+# --------------------------------------------------------------------------
+
+#: z-order parameters: keys are min-max normalized onto a 16-bit grid
+#: before interleaving (raw keys occupy only the low bits of their domain,
+#: which would leave the HIGH interleaved bits all-zero and collapse every
+#: row into one bucket); bucket = top _Z_BUCKET_BITS of the 32-bit z-value.
+_Z_BITS = 16
+_Z_BUCKET_BITS = 6
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Morton interleave of two pre-normalized 16-bit columns as portable
+    SQL (``>> << & |`` arithmetic only — parses identically in DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query("q_zorder_layout", oracle=f"""
+WITH b AS (
+  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+  FROM lineitem
+), n AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR((l_partkey - minp) * 65536.0 / (maxp - minp + 1)) AS BIGINT) AS nx,
+         CAST(FLOOR((l_suppkey - mins) * 65536.0 / (maxs - mins + 1)) AS BIGINT) AS ny
+  FROM lineitem, b
+), z AS (
+  SELECT l_partkey, l_suppkey,
+         {_morton_sql("nx", "ny")} AS zval
+  FROM n
+)
+SELECT CAST(zval >> {2 * _Z_BITS - _Z_BUCKET_BITS} AS BIGINT) AS z_bucket,
+       count(*)        AS n_rows,
+       min(l_partkey)  AS min_part, max(l_partkey) AS max_part,
+       min(l_suppkey)  AS min_supp, max(l_suppkey) AS max_supp,
+       CAST((max(l_partkey) - min(l_partkey) + 1)
+            * (max(l_suppkey) - min(l_suppkey) + 1) AS BIGINT) AS bbox_area
+FROM z GROUP BY z_bucket
+""")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimensional data layout:
+    min-max normalize (l_partkey, l_suppkey) onto a 16-bit grid,
+    interleave the bits, and bucket rows by the top {_Z_BUCKET_BITS}
+    z-bits. Every bucket's min/max BOUNDING BOX is tight in BOTH keys
+    simultaneously — the property a 1-D sort only gives its leading
+    column — so parquet row-group min/max statistics prune scans for
+    predicates on EITHER key. The per-bucket bbox stats returned are the
+    measurable evidence (bbox_area ≪ full-domain area).
+
+    At 100 TB this is the layout step before the write:
+    ``df.repartitionByRange(N, zval).sortWithinPartitions(zval)`` then a
+    parquet write — range partitioning on the z-value IS the cluster
+    assignment, one shuffle, no post-pass. Key bounds ride a 1-row
+    broadcast; the interleave is pure JVM integer arithmetic folded by
+    codegen, replicated exactly in the DuckDB oracle (the normalization
+    expression is written with identical operation order, so IEEE
+    division yields bit-identical doubles and floors in both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"), F.max("l_suppkey").alias("maxs"),
+    )
+    n = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey", "l_suppkey",
+        F.floor((F.col("l_partkey") - F.col("minp")) * 65536.0
+                / (F.col("maxp") - F.col("minp") + 1)).alias("nx"),
+        F.floor((F.col("l_suppkey") - F.col("mins")) * 65536.0
+                / (F.col("maxs") - F.col("mins") + 1)).alias("ny"),
+    )
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        # Column.__or__ is BOOLEAN or; bitwise OR must be explicit
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright("nx", i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright("ny", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    zdf = n.select(
+        "l_partkey", "l_suppkey",
+        F.shiftright(z, 2 * _Z_BITS - _Z_BUCKET_BITS).alias("z_bucket"),
+    )
+    return zdf.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_part"), F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"), F.max("l_suppkey").alias("max_supp"),
+        ((F.max("l_partkey") - F.min("l_partkey") + 1)
+         * (F.max("l_suppkey") - F.min("l_suppkey") + 1)).alias("bbox_area"),
+    )

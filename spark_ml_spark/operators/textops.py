@@ -339,3 +339,47 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ip").alias("ips_redacted"),
         F.sum("delta").alias("chars_removed"),
     )
+
+
+#: heavy hitters: tokens above 1/200 of the total corpus token count.
+_HH_FRACTION = 200
+
+
+@query("q_heavy_hitters", oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+)
+SELECT token, count(*) AS cnt,
+       ROUND(count(*) / tot.n, 6) AS token_share
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING count(*) > tot.n / {_HH_FRACTION}
+""")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (frequent-items, the φ=1/{_HH_FRACTION}
+    threshold form): corpus tokens whose frequency exceeds n/{_HH_FRACTION}.
+    Shape at 100 TB: explode → two-phase hash agg — the power-law token
+    skew is absorbed by MAP-SIDE partial aggregation (each task
+    pre-counts its own 'the's, so the shuffle carries one partial row
+    per (task, token), not one row per occurrence); the corpus-total
+    divisor rides a 1-row broadcast. An approximate Misra-Gries /
+    Count-Min pass only becomes necessary when the DISTINCT-token set
+    itself overflows executor memory — at that point swap the exact agg
+    for ``df.stat.countMinSketch`` and keep the same threshold filter."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(ws_tokens("text")).alias("token")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > F.col("n") / _HH_FRACTION)
+        .select(
+            "token", "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("token_share"),
+        )
+    )
