@@ -1337,3 +1337,140 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.max("l_partkey") - F.min("l_partkey") + 1)
          * (F.max("l_suppkey") - F.min("l_suppkey") + 1)).alias("bbox_area"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event analytics: funnel, cohort retention, range-frame windows
+# --------------------------------------------------------------------------
+
+
+@query("q_funnel", oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND ts > t2 GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t3 GROUP BY e.user_id)
+SELECT step, n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / (SELECT count(*) FROM s1), 4) AS conversion
+FROM (SELECT 1 AS step, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, count(*) FROM s2
+      UNION ALL SELECT 3, count(*) FROM s3
+      UNION ALL SELECT 4, count(*) FROM s4) f
+""")
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → view → click → purchase): a user
+    reaches step k+1 only via an event strictly AFTER their step-k time —
+    the chained min-after-previous-step formulation, which is immune to
+    out-of-order event delivery (unlike a naive per-type min compare).
+
+    Each stage is one filtered scan + per-user min, joined to the prior
+    stage on user_id — four shuffles all on the SAME key, so a cluster
+    co-partitions them into one exchange chain (and a bucketed-by-user
+    event layout, cf. ``api.write_bucketed``, eliminates them entirely).
+    No windows over full history, no per-user event array materialized:
+    state per user is one timestamp per stage, which is what lets this
+    run over years of events at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, tprev: str, tcur: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tprev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcur))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "view", "t1", "t2")
+    s3 = stage(s2, "click", "t2", "t3")
+    s4 = stage(s3, "purchase", "t3", "t4")
+    counts = None
+    for step, s in enumerate((s1, s2, s3, s4), start=1):
+        c = s.agg(
+            F.lit(step).alias("step"), F.count(F.lit(1)).alias("n_users")
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    base = s1.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step", "n_users",
+        F.round(F.col("n_users") / F.col("n_base"), 4).alias("conversion"),
+    )
+
+
+@query("q_retention_cohorts", oracle="""
+WITH first AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+""")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for each (cohort, day-offset) the count of distinct cohort members
+    active that day — the standard product-analytics retention triangle.
+
+    Two shuffles, both on user_id (first-touch agg, then the activity
+    join — co-partitioned on a cluster), then one distinct-agg on the
+    tiny (cohort, offset) key space. The cohort table carries one row
+    per user (not per event), so the join's build side stays
+    |users| ≪ |events| and broadcastable far up the scale curve."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query("q_window_range_frame", oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w                 AS n_events_1h,
+       ROUND(sum(value) OVER w, 4)     AS sum_value_1h
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.5 extension): per-user rolling 1-hour event
+    count and value sum — the frame is bounded by a VALUE interval on
+    event time (microseconds), not a row count, so it is insensitive to
+    event density (ROWS BETWEEN 10 PRECEDING would not be).
+
+    Partitioned by user_id — parallel per-user sorts, no global sort.
+    Epoch microseconds (``unix_micros`` / ``epoch_us``) make the frame
+    boundary engine-exact; a seconds truncation would tie-break
+    differently between engines at window edges."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
