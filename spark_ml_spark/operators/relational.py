@@ -1474,3 +1474,122 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
     )
+
+
+@query("q_incremental_agg", oracle="""
+SELECT user_id, event_type,
+       count(*)               AS n_events,
+       ROUND(sum(value), 2)   AS total_value,
+       ROUND(ROUND(sum(value), 2) / count(*), 6) AS avg_value
+FROM events
+GROUP BY user_id, event_type
+""")
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via PARTIAL-STATE MERGE: the event stream
+    is split at 2024-01-21 into an "already processed" batch and a "new
+    arrivals" batch; each is aggregated to mergeable partials
+    (count, sum — avg is NOT mergeable, so it is derived sum/count at
+    the end), and the two partial tables merge with one tiny agg.
+    The oracle is the plain full-history aggregate: merged partials must
+    equal a from-scratch recompute EXACTLY.
+
+    This is the restatement-free daily-pipeline shape at 100 TB: each
+    day aggregates only its own partition and merges into yesterday's
+    compact state table (|users × types| rows, not |events|), instead of
+    rescanning all history. Works for any algebraic aggregate
+    (count/sum/min/max; avg and stddev via their sum-of-powers
+    decomposition); holistic aggregates (exact median) need the full
+    re-scan and are the documented exception."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    old = partial(ev.filter(F.col("ts") < cutoff))
+    new = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        old.unionAll(new)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .select(
+            "user_id", "event_type", "n_events",
+            # ROUND(sum, 2) snaps both engines' 1-ulp-apart sums onto the
+            # same double; the avg then rounds at 6 decimals — BELOW the
+            # 5-decimal terminating precision of (2-dec sum)/2^k — so the
+            # round is an identity snap in both engines. Rounding AT the
+            # quotient's precision (4) would sit exactly on half-way ties
+            # like 563.81/8 = 70.47625, where Spark (BigDecimal.valueOf of
+            # the shortest decimal repr → HALF_UP) and DuckDB (binary-value
+            # rounding) legitimately disagree.
+            F.round("sum_value", 2).alias("total_value"),
+            F.round(F.round("sum_value", 2) / F.col("n_events"), 6)
+            .alias("avg_value"),
+        )
+    )
+
+
+@query("q_gap_fill", oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         ROUND(sum(value), 4) AS hr_value
+  FROM events WHERE user_id < 10
+  GROUP BY user_id, hr
+), spine AS (
+  SELECT user_id, unnest(generate_series(min(hr), max(hr),
+                         INTERVAL 1 HOUR)) AS hr
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id, s.hr,
+       COALESCE(h.hr_value, 0.0)           AS hr_value,
+       CASE WHEN h.hr_value IS NULL THEN 1 ELSE 0 END AS was_gap,
+       last_value(h.hr_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hr) AS carried_value
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+""")
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (resampling): build each
+    user's dense hourly spine with ``sequence()`` + ``explode`` between
+    their first and last active hour, left-join the actual hourly
+    aggregate, and carry the last observed value across gaps with
+    ``last(..., ignorenulls)`` over a user-partitioned window.
+
+    The spine generates per-user (no global calendar table, no cross
+    join with a date dimension): a user active for one day costs 24
+    rows regardless of corpus span. All three shuffles key on user_id —
+    co-partitioned — and the fill window is per-user, so the densified
+    series parallelizes by user at any scale. Filtered to user_id < 10
+    to keep the checked output compact; the plan is user-count
+    invariant."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.sum("value"), 4).alias("hr_value"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("hr0"), F.max("hr").alias("hr1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hr0", "hr1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("hr")
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id", "hr",
+            F.coalesce("hr_value", F.lit(0.0)).alias("hr_value"),
+            F.when(F.col("hr_value").isNull(), 1).otherwise(0).alias("was_gap"),
+            F.last("hr_value", ignorenulls=True).over(w).alias("carried_value"),
+        )
+    )
