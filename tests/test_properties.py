@@ -155,3 +155,59 @@ def test_domain_mix_shares_sum_to_one(spark, sf_dir):
     queries, _ = collect()
     rows = queries["q_domain_mix"](spark, sf_dir).collect()
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=60))
+@SETTINGS
+def test_global_rank_matches_sorted_enumerate(spark, vals):
+    """api.global_rank (two-phase, no single-partition window) must equal
+    plain sorted-order enumeration for any multiset of keys, with the id
+    tiebreaker making the order total."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: (r.global_rank, r.n_total)
+        for r in api.global_rank(df, ["v", "id"], partitions=4).collect()
+    }
+    expect = {
+        rid: rank
+        for rank, (v, rid) in enumerate(
+            sorted((v, i) for i, v in enumerate(vals)), start=1
+        )
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    assert all(v[1] == len(vals) for v in got.values())
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    """Each funnel step can only lose users: counts are non-increasing
+    and conversion starts at 1.0."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    rows = sorted(
+        queries["q_funnel"](spark, sf_dir).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4]
+    assert rows[0].conversion == 1.0
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_gap_fill_spine_is_dense(spark, sf_dir):
+    """Gap-filled series must be hourly-dense per user (consecutive
+    spine rows exactly 1h apart) and carried_value must never be null."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    rows = queries["q_gap_fill"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert r.carried_value is not None
+    for series in by_user.values():
+        series.sort(key=lambda r: r.hr)
+        for a, b in zip(series, series[1:]):
+            assert (b.hr - a.hr) == datetime.timedelta(hours=1)
