@@ -62,6 +62,7 @@ HEADLINE = (
     "q_repetition_score",
     "q_shard_assign",
     "q_pii_redact",
+    "q_training_data_prep",
     # round-2 TPC-H completion: the two heaviest new shapes (Q9 five-way
     # fact join + Q21 semi/anti double correlation)
     "q_sql_tpch_q9",

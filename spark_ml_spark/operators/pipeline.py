@@ -507,3 +507,123 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled", "min_doc", "max_doc",
         )
     )
+
+
+@query("q_training_data_prep", oracle=f"""
+WITH quality AS (
+  SELECT doc_id, source, text, {_NTOK_SQL} AS n_tok
+  FROM documents
+  WHERE {_NTOK_SQL} >= 20
+    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+             AS DOUBLE) / NULLIF(length(text), 0) < 0.1
+), exact AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+), train AS (
+  SELECT q.doc_id, q.source, q.n_tok
+  FROM quality q JOIN exact e ON q.doc_id = e.doc_id
+  WHERE substr(md5(CAST(q.doc_id AS STRING)), 1, 8) < '{_TRAIN_MAX}'
+), per AS (
+  SELECT source, count(*) AS n_docs FROM train GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS n_all,
+         sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_w
+  FROM per
+), tgt AS (
+  SELECT p.source,
+         LEAST(p.n_docs, CAST(FLOOR(sqrt(CAST(p.n_docs AS DOUBLE)) / t.sum_w
+                              * {_TEMP_FRAC} * t.n_all) AS BIGINT)) AS n_target
+  FROM per p, tot t
+), ranked AS (
+  SELECT t.doc_id, t.source, t.n_tok,
+         row_number() OVER (PARTITION BY t.source
+                            ORDER BY md5(CAST(t.doc_id AS STRING)), t.doc_id) AS rn
+  FROM train t
+), sampled AS (
+  SELECT r.doc_id, r.source, r.n_tok
+  FROM ranked r JOIN tgt g ON r.source = g.source
+  WHERE r.rn <= g.n_target
+), packed AS (
+  SELECT source, n_tok,
+         CAST(FLOOR((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM sampled
+)
+SELECT source,
+       count(*)                       AS n_docs,
+       count(DISTINCT bin_id)         AS n_bins,
+       CAST(sum(n_tok) AS BIGINT)     AS total_tokens
+FROM packed
+GROUP BY source
+""")
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 capstone: the BACK half of a pretraining data pipeline
+    (the front half — quality → exact dedup → NEAR-dup → stats — is
+    ``q_llm_pipeline``), composed entirely from this repo's operator
+    idioms: C4-style quality gate, digest exact-dedup keeping the lowest
+    doc_id, deterministic md5 train split (``q_hash_split``),
+    sqrt-temperature per-domain sampling with an engine-exact hash-order
+    rank gate (``q_temperature_sample``), and token packing into
+    {_PACK_BUDGET}-token context bins (``q_token_packing``), reported
+    per source.
+
+    Every stage changes the output (drops rows or re-bins), so the
+    oracle checks the COMPOSITION, not just the pieces: a disagreement
+    anywhere in the five-stage chain moves counts downstream. Shuffle
+    ledger at scale: digest agg (16-byte keys), one broadcast of the
+    tiny per-source table, one source-partitioned rank window, one
+    source-partitioned packing window — no global sorts, no collected
+    intermediates, text never shuffles after the quality projection."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[.,!?;:]", "")
+    )
+    quality = docs.filter(
+        (F.size(toks) >= 20)
+        & (punct.cast("double") / F.nullif(F.length("text"), F.lit(0)) < 0.1)
+    ).select("doc_id", "source", "text", F.size(toks).alias("n_tok"))
+    exact = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    train = (
+        quality.join(exact.select("doc_id"), "doc_id")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < _TRAIN_MAX
+        )
+        .select("doc_id", "source", "n_tok")
+    )
+    per = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("n_all"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_w"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_w")
+    tgt = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.col("n_docs"),
+            F.floor(w * _TEMP_FRAC * F.col("n_all")).cast("bigint"),
+        ).alias("n_target"),
+    )
+    rn_w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sampled = (
+        train.withColumn("rn", F.row_number().over(rn_w))
+        .join(F.broadcast(tgt), "source")
+        .filter(F.col("rn") <= F.col("n_target"))
+    )
+    cum_w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = sampled.select(
+        "source", "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(cum_w) - F.col("n_tok")) / _PACK_BUDGET
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("bin_id").alias("n_bins"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

@@ -91,10 +91,12 @@ _GRADED_WINDOW = (
     "q_unpivot",
     "q_tfidf_topterms",
     "q_array_functions",
-    # multimodal family
+    # multimodal family (q_media_decode, the second stub-kernel twin of
+    # q_media_frames, yields its slot to the r2 capstone below)
     "q_multimodal_meta",
     "q_media_frames",
-    "q_media_decode",
+    # round-2 capstone: five-stage composed training-data pipeline
+    "q_training_data_prep",
     # SQL front-end
     "q_sql_tpch_q1",
     "q_sql_tpch_q3",
