@@ -348,3 +348,84 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query("q_stream_foreachbatch_upsert", oracle="""
+SELECT user_id,
+       count(*)             AS n_events,
+       ROUND(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+""")
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` MERGE-INTO-STATE — the production pattern for
+    sinks without native streaming upsert (JDBC, Delta MERGE, key-value
+    stores): each microbatch aggregates to mergeable partials
+    (count, sum) and merges into the running state table keyed on
+    user_id; the final state must equal the batch aggregate over all
+    history, which is exactly what the oracle checks (the same
+    partial-merge algebra as ``q_incremental_agg``, driven by the
+    streaming engine).
+
+    The input is re-laid as 8 files streamed 2-per-trigger so the merge
+    loop really executes over 4 microbatches (a single-file source would
+    collapse to one batch and prove nothing). State lineage is truncated
+    per batch with ``localCheckpoint`` — without it the plan doubles
+    every batch, the classic unbounded-lineage failure of naive merge
+    loops. At scale the state table lives in the sink (MERGE ON
+    user_id); per-batch work is |batch| + |touched keys|, not
+    |history|."""
+    import hashlib
+    import os
+
+    from spark_ml_spark.io.sources import _CACHE_DIR, load
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.join(_CACHE_DIR, f"stream_upsert_src_{key}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "events").select("user_id", "value").repartition(
+            8
+        ).write.mode("overwrite").parquet(src)
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    empty = spark.createDataFrame(
+        [], "user_id long, n_events long, sum_value double"
+    )
+    state = {"df": empty, "batches": 0}
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        merged = (
+            state["df"].unionByName(agg)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+        state["batches"] += 1
+
+    ckpt = os.path.join(_CACHE_DIR, f"stream_upsert_ckpt_{key}_{uuid.uuid4().hex[:8]}")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["batches"] >= 2, "expected multiple microbatches"
+    return state["df"].select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("total_value")
+    )
