@@ -617,3 +617,101 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.countDistinct("gram").alias("n_shared_grams"))
     )
+
+
+# Portable 16-bit SimHash: every bit derives from md5 (identical in both
+# engines), unlike api.simhash64's xxhash64 (engine-specific → rows-only).
+_PSH_BITS = 16
+_PSH_HEX = "0123456789abcdef"
+
+
+def _psh_contrib_sql(i: int) -> str:
+    """+1/-1 contribution of one token's bit i (hex char i//4, bit i%4
+    from the high end), as engine-portable SQL over column ``h`` (the
+    4-char md5 prefix)."""
+    j, k = i // 4, i % 4
+    v = f"(position(substr(h, {j + 1}, 1) IN '{_PSH_HEX}') - 1)"
+    return f"(2 * (({v} >> {3 - k}) & 1) - 1)"
+
+
+def q_simhash_portable_oracle() -> str:
+    contribs = ",\n         ".join(
+        f"sum({_psh_contrib_sql(i)}) AS s{i}" for i in range(_PSH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN 1 ELSE 0 END << {i})"
+        for i in range(_PSH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, substr(md5(tok), 1, 4) AS h FROM toks
+), sums AS (
+  SELECT doc_id,
+         {contribs}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS fingerprint FROM sums
+), bands AS (
+  SELECT doc_id, fingerprint,
+         unnest([0, 1, 2, 3]) AS band_id
+  FROM fp
+)
+SELECT band_id, CAST((fingerprint >> (band_id * 4)) & 15 AS BIGINT) AS band_key,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM bands
+GROUP BY band_id, band_key
+"""
+
+
+@query("q_simhash_portable", oracle=q_simhash_portable_oracle())
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with ENGINE-PORTABLE bits — the oracle-checkable twin of
+    ``q_simhash_buckets`` (whose xxhash64 bits are Spark-specific, hence
+    rows-only): each distinct token contributes ±1 per bit position from
+    its md5 prefix; the per-doc sign vector is the 16-bit fingerprint,
+    banded 4×4 bits into near-dup buckets.
+
+    Same scale shape as the xxhash64 variant: one explode, ONE hash agg
+    summing {_PSH_BITS} small integers per doc (the bit-sums fold
+    map-side), then a tiny bucket agg — no pairwise work anywhere. The
+    md5-prefix decode (position-in-hex-alphabet, shift, mask) is integer
+    codegen arithmetic written identically in both engines; 16 bits keeps
+    the demonstration compact — production uses 64 via the same
+    construction (4 md5 prefixes or one 16-char slice under unsigned
+    decode)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    h = toks.select("doc_id", F.substring(F.md5("tok"), 1, 4).alias("h"))
+    sums = h.groupBy("doc_id").agg(*[
+        F.sum(F.expr(_psh_contrib_sql(i))).alias(f"s{i}")
+        for i in range(_PSH_BITS)
+    ])
+    fp_col = None
+    for i in range(_PSH_BITS):
+        term = F.shiftleft(
+            F.when(F.col(f"s{i}") >= 0, 1).otherwise(0), i
+        )
+        fp_col = term if fp_col is None else fp_col + term
+    fp = sums.select("doc_id", fp_col.cast("bigint").alias("fingerprint"))
+    bands = fp.select(
+        "doc_id", "fingerprint",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    )
+    return bands.groupBy(
+        "band_id",
+        # F.shiftright takes only a literal bit count; the column-valued
+        # shift needs the SQL form
+        F.expr("CAST((fingerprint >> (band_id * 4)) & 15 AS BIGINT)")
+        .alias("band_key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
