@@ -550,14 +550,18 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_limit", oracle="""
 SELECT l_orderkey, l_linenumber, l_quantity
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5
+FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 5
 """)
 def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: deterministic limit (sorted on the unique key so the selected
-    SET is engine-independent; reference: ``take(1)``/``show(n)``)."""
+    """O1: deterministic limit (reference: ``take(1)``/``show(n)``). The
+    sort covers EVERY projected column: (l_orderkey, l_linenumber) alone
+    is not unique at sf0.1, so a shorter key would let each engine pick a
+    different representative row at the cut; with all three columns
+    ordered, ties are full-row duplicates and the selected SET is
+    engine-independent."""
     return (
         load(spark, sf_dir, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(5)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
