@@ -73,7 +73,8 @@ def _ml_features_oracle() -> str:
     )
     tot = " + ".join(_BCOL[b] for b in BRANDS)
     fracs = ",\n       ".join(
-        f"ROUND({_BCOL[b]} / NULLIF({tot}, 0), 6) AS frac_{_BCOL[b]}" for b in BRANDS
+        f"CAST(ROUND({_BCOL[b]} * 1000000.0 / NULLIF({tot}, 0)) AS BIGINT)"
+        f" AS ppm_{_BCOL[b]}" for b in BRANDS
     )
     return f"""
 WITH piv AS (
@@ -101,9 +102,20 @@ def q_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.nullif(
         sum(F.col(_BCOL[b]) for b in BRANDS).cast("double"), F.lit(0.0)
     )
+    # integer parts-per-million, not ROUND(frac, 6): quantities are
+    # integers, so bsum*1e6/total is the IDENTICAL double in both engines
+    # and its integer round is engine-exact (exact .5 ties are exactly
+    # representable and both engines round them up). ROUND(frac, 6) sat on
+    # quotients like 41/640 = 0.0640625 that terminate at the 7th decimal,
+    # where Spark (shortest-decimal-repr HALF_UP) and DuckDB (binary-value
+    # rounding) legitimately disagree — caught at sf0.1.
     return ft.select(
         "o_custkey",
-        *[F.round(F.col(_BCOL[b]) / total, 6).alias(f"frac_{_BCOL[b]}") for b in BRANDS],
+        *[
+            F.round(F.col(_BCOL[b]) * 1000000.0 / total, 0)
+            .cast("bigint").alias(f"ppm_{_BCOL[b]}")
+            for b in BRANDS
+        ],
         F.round(F.col("c_acctbal"), 2).alias("label"),
     )
 
