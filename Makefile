@@ -9,8 +9,9 @@ check:           ## driver-contract emulation at sf0.01 (the graded gate)
 check-small:     ## fast contract check at sf0.001
 	python tools/driver_check.py /root/testdata/sf0.001
 
-bench:           ## headline timings at sf0.1 (one JSON line)
-	python bench.py
+bench:           ## headline timings at sf0.1 (one JSON line) + regression gate vs last round
+	python bench.py | tee /tmp/bench_latest.json
+	python tools/bench_diff.py $(shell ls BENCH_r*.json | sort | tail -1) /tmp/bench_latest.json
 
 plans:           ## regenerate PLANS.md plan-evidence artifact
 	python tools/dump_plans.py

@@ -45,6 +45,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle's epoch() is UTC; pin it so results are
     # session-independent (runtime-settable conf)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive parquet timestamp[us] (fixture format since r3) must read as
+    # TIMESTAMP, not TIMESTAMP_NTZ — unix_micros()/window arithmetic
+    # requires LTZ, and UTC session makes it equal DuckDB's epoch()
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = _NANO_TS_COLUMNS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -79,12 +83,26 @@ _CACHE_DIR = os.path.join(
 )
 
 
+def fixture_key(sf_dir: str, *tables: str) -> str:
+    """Cache key for a relay derived from fixture tables: fingerprints
+    CONTENT (mtime_ns + size per table), not just the path. The driver
+    regenerates sf dirs in place between rounds (r3 changed events.ts
+    from TIMESTAMP(NANOS) to naive micros), and a path-only key keeps
+    serving the previous round's relay against a fresh oracle
+    (ADVICE r2, stream_queries.py:385)."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for t in tables:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        h.update(f":{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()[:10]
+
+
 def documents_csv_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize ``documents`` as CSV once per sf_dir (repo-local cache)
     so the CSV scan path (reference ``Data_transform.py:32``) can be
     exercised — all driver tables are parquet, the reference's source
     format is CSV (FIXTURES.md §B4)."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = fixture_key(sf_dir, "documents")
     out = os.path.join(_CACHE_DIR, f"documents_csv_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (load(spark, sf_dir, "documents")
@@ -99,7 +117,7 @@ def documents_csv_path(spark: SparkSession, sf_dir: str) -> str:
 def documents_json_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize ``documents`` as JSON-lines once per sf_dir — the third
     source format (parquet/CSV/JSONL) a production landing zone sees."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = fixture_key(sf_dir, "documents")
     out = os.path.join(_CACHE_DIR, f"documents_json_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load(spark, sf_dir, "documents").write.mode("overwrite").json(out)

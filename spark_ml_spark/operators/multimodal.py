@@ -59,7 +59,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: feature vector).
 _DECODE_SCHEMA = (
     "doc_id long, width int, height int, n_bytes int, mean_byte double, "
-    "feature array<double>"
+    "hist_q0 double, hist_q1 double, hist_q2 double, hist_q3 double"
 )
 
 
@@ -86,13 +86,21 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "mean_byte": payloads.map(
                     lambda b: float(sum(b)) / len(b) if len(b) else 0.0
                 ),
-                # 4-dim fake feature: byte-value histogram quartile masses
-                "feature": payloads.map(
-                    lambda b: [
-                        float(sum(1 for x in b if lo <= x < hi)) / max(len(b), 1)
-                        for lo, hi in ((0, 64), (64, 128), (128, 192), (192, 256))
-                    ]
-                ),
+                # 4-dim fake feature: byte-value histogram quartile
+                # masses, emitted as SCALAR columns — the driver's
+                # canonicalizer sorts rows through pandas and an
+                # array<double> cell is unhashable there (it erred
+                # q_media_frames in CORRECTNESS_r02; VERDICT r2 §wrong 2)
+                **{
+                    f"hist_q{qi}": payloads.map(
+                        lambda b, lo=lo, hi=hi: float(
+                            sum(1 for x in b if lo <= x < hi)
+                        ) / max(len(b), 1)
+                    )
+                    for qi, (lo, hi) in enumerate(
+                        ((0, 64), (64, 128), (128, 192), (192, 256))
+                    )
+                },
             }
         )
         yield out
@@ -100,9 +108,13 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 #: frame-sampling output: one row PER SAMPLED FRAME (flat-map shape) —
 #: what a video pipeline feeds to per-frame feature extraction.
+#: per-frame feature as SCALAR columns (len/mean/min/max of the frame's
+#: bytes) rather than one array<double> — the driver's rows-only
+#: canonicalizer pandas-sorts result rows, and list cells are unhashable
+#: there (q_media_frames erred in CORRECTNESS_r02; VERDICT r2 §wrong 2).
 _FRAME_SCHEMA = (
     "doc_id long, frame_idx int, frame_offset_bytes int, "
-    "frame_feature array<double>"
+    "f_len double, f_mean double, f_min double, f_max double"
 )
 
 _N_FRAMES = 4
@@ -128,12 +140,10 @@ def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                         "doc_id": doc_id,
                         "frame_idx": i,
                         "frame_offset_bytes": lo,
-                        "frame_feature": [
-                            float(len(window)),
-                            float(sum(window)) / max(len(window), 1),
-                            float(min(window)) if window else 0.0,
-                            float(max(window)) if window else 0.0,
-                        ],
+                        "f_len": float(len(window)),
+                        "f_mean": float(sum(window)) / max(len(window), 1),
+                        "f_min": float(min(window)) if window else 0.0,
+                        "f_max": float(max(window)) if window else 0.0,
                     }
                 )
         yield pd.DataFrame(out_rows)

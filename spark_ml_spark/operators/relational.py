@@ -66,9 +66,9 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning treatment from Catalyst as parquet."""
     import os
 
-    from spark_ml_spark.io.sources import _CACHE_DIR
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
 
-    key = os.path.basename(os.path.abspath(sf_dir))
+    key = fixture_key(sf_dir, "documents")
     out = os.path.join(_CACHE_DIR, f"documents_orc_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
@@ -814,9 +814,9 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-table scan into a directory listing + one partition read."""
     import os
 
-    from spark_ml_spark.io.sources import _CACHE_DIR
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
 
-    key = os.path.basename(os.path.abspath(sf_dir))
+    key = fixture_key(sf_dir, "orders")
     out = os.path.join(_CACHE_DIR, f"orders_by_year_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
@@ -1158,13 +1158,12 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_bucketed_join.py asserts the exchange-free plan with
     broadcast disabled). Results must equal the plain shuffle join — the
     oracle runs the ordinary join."""
-    import hashlib
     import os
 
     from spark_ml_spark.api import write_bucketed
-    from spark_ml_spark.io.sources import _CACHE_DIR
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = fixture_key(sf_dir, "lineitem", "orders")
     base = os.path.join(_CACHE_DIR, f"bucketed_{key}")
     li_t, o_t = f"lineitem_bq_{key}", f"orders_bq_{key}"
     # idempotent per (session, sf): bucket metadata lives in the catalog
@@ -1415,7 +1414,7 @@ WITH first AS (
   SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
   FROM events GROUP BY user_id
 )
-SELECT f.cohort_day,
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
        datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
        count(DISTINCT e.user_id) AS n_active
 FROM events e JOIN first f USING (user_id)
@@ -1444,6 +1443,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
+        # ISO string, not DateType: Spark dates surface as datetime.date
+        # objects through pandas while DuckDB DATEs become datetime64 —
+        # the driver's canonicalizer hashes those differently
+        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
     )
 
 

@@ -353,7 +353,7 @@ WITH toks AS (
   SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
 )
 SELECT token, count(*) AS cnt,
-       ROUND(count(*) / tot.n, 6) AS token_share
+       CAST(ROUND(count(*) * 1000000.0 / tot.n) AS BIGINT) AS share_ppm
 FROM toks, tot
 GROUP BY token, tot.n
 HAVING count(*) > tot.n / {_HH_FRACTION}
@@ -380,6 +380,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > F.col("n") / _HH_FRACTION)
         .select(
             "token", "cnt",
-            F.round(F.col("cnt") / F.col("n"), 6).alias("token_share"),
+            # exact-integer parts-per-million, not ROUND(frac, 6): Spark
+            # HALF_UP and DuckDB binary-value rounding disagree on
+            # terminating decimal quotients (ADVICE r2; same fix as
+            # q_ml_features' ppm_ columns, commit 69f1545)
+            F.round(F.col("cnt") * 1000000.0 / F.col("n"), 0)
+            .cast("bigint").alias("share_ppm"),
         )
     )

@@ -39,6 +39,12 @@ def get_spark(app_name: str = "spark_ml_spark", cpus: str | int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # unannotated/naive parquet timestamps (timestamp[us] without UTC
+        # adjustment — how the driver's fixtures store ts columns as of r3)
+        # must read as TIMESTAMP (LTZ): with the session pinned to UTC the
+        # epoch math then matches DuckDB's epoch() over its naive TIMESTAMP.
+        # The NTZ default would break unix_micros()/watermark arithmetic.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

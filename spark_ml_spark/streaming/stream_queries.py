@@ -19,11 +19,14 @@ from pyspark.sql import types as T
 from spark_ml_spark.registry import query
 
 #: explicit schema — readStream cannot infer (and inference is a full
-#: extra pass at scale anyway). ``ts`` is stored as TIMESTAMP(NANOS) which
-#: Spark reads as long under the nanosAsLong conf; converted after read.
+#: extra pass at scale anyway). ``ts`` is stored as naive TIMESTAMP(MICROS)
+#: (fixture format since r3; earlier rounds used TIMESTAMP(NANOS), read as
+#: long + divided — that path is gone with the fixture that needed it).
+#: Declared TimestampType (LTZ): with the session pinned to UTC, watermark
+#: and window arithmetic match DuckDB's epoch() over its naive TIMESTAMP.
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -32,19 +35,15 @@ EVENTS_SCHEMA = T.StructType([
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # epoch math and F.window alignment follow the session timezone; pin
     # UTC so results match the DuckDB oracle in any driver session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file stream source wants a directory; glob-filter to the events
     # table (in production this is the landing directory new files arrive in)
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-    )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
     )
 
 
@@ -284,12 +283,14 @@ def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     historical dataset through the sink must land exactly the batch
     answer. Stateless ⇒ no watermark needed and append mode is natural;
     run-to-run the checkpoint prevents double-processing."""
-    import hashlib
     import os
 
-    from spark_ml_spark.io.sources import _CACHE_DIR
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # content-fingerprinted key (ADVICE r2): a regenerated events fixture
+    # must invalidate both the committed files and the offset checkpoint,
+    # else the re-read serves the previous round's filtered rows
+    key = fixture_key(sf_dir, "events")
     out = os.path.join(_CACHE_DIR, f"stream_parquet_{key}")
     ckpt = os.path.join(_CACHE_DIR, f"stream_parquet_ckpt_{key}")
     stream = _read_events_stream(spark, sf_dir)
@@ -375,12 +376,16 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops. At scale the state table lives in the sink (MERGE ON
     user_id); per-batch work is |batch| + |touched keys|, not
     |history|."""
-    import hashlib
     import os
+    import shutil
 
-    from spark_ml_spark.io.sources import _CACHE_DIR, load
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key, load
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # content-fingerprinted key (ADVICE r2): a regenerated events fixture
+    # must invalidate the re-laid 8-file source, else the stream replays
+    # stale parquet against a fresh oracle — r3's fixture regeneration
+    # did exactly that
+    key = fixture_key(sf_dir, "events")
     src = os.path.join(_CACHE_DIR, f"stream_upsert_src_{key}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         load(spark, sf_dir, "events").select("user_id", "value").repartition(
@@ -417,7 +422,12 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["df"] = merged.localCheckpoint(eager=True)
         state["batches"] += 1
 
-    ckpt = os.path.join(_CACHE_DIR, f"stream_upsert_ckpt_{key}_{uuid.uuid4().hex[:8]}")
+    # deterministic checkpoint dir per source-key, cleared before each
+    # run: uuid-suffixed dirs accumulated unboundedly across runs
+    # (ADVICE r2), and a checkpoint can't be resumed by a different
+    # query anyway
+    ckpt = os.path.join(_CACHE_DIR, f"stream_upsert_ckpt_{key}")
+    shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)

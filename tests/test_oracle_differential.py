@@ -24,7 +24,9 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     """Sort columns by name, normalize cell values, sort rows — the same
-    shape the driver hashes."""
+    shape the driver hashes. Floats stay RAW here (compared later with a
+    tight relative tolerance); only the ROW-SORT key uses the driver's
+    %.6g granularity so both engines order ties identically."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm_cell(v):
@@ -32,22 +34,33 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
             return int(v)
         if isinstance(v, decimal.Decimal):
             v = float(v)
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            # the driver hashes floats at 6 significant digits; matching it
-            # exactly (rather than a stricter decimal round) keeps this test
-            # equivalent to the gate it mirrors — a large ROUND(sum(...), 2)
-            # can legitimately differ by one ulp-of-a-cent between engines
-            # (float associativity) while hashing identically at %.6g
-            return f"{v:.6g}"
-        if isinstance(v, int):
+        if isinstance(v, (float, int)):
             return v
         return str(v)
 
+    def key_cell(x):
+        if isinstance(x, float):
+            return (x is None, "NaN" if math.isnan(x) else f"{x:.6g}")
+        return (x is None, str(x))
+
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple(key_cell(x) for x in t))
     return out
+
+
+def cells_equal(a, b) -> bool:
+    """Strict cell compare: floats at rel_tol 1e-9 (one-ulp associativity
+    noise only, not the whole-dollar granularity a global %.6g compare
+    would allow on 7-digit revenues — ADVICE r2); everything else exact."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def rows_equal(a: tuple, b: tuple) -> bool:
+    return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -94,8 +107,8 @@ def test_oracle_match(name, spark, duck, sf_dir):
         f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
     ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
-    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
-    assert ns == nd, f"{name}: value mismatch, first diffs: {mismatches}"
+    mismatches = [(a, b) for a, b in zip(ns, nd) if not rows_equal(a, b)][:5]
+    assert not mismatches, f"{name}: value mismatch, first diffs: {mismatches}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

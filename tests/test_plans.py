@@ -91,6 +91,30 @@ def test_embedding_neardup_is_banded_equi_join(spark, sf_dir):
             or "ShuffledHashJoin" in plan)
 
 
+def test_semantic_dedup_candidates_are_ids_only(spark, sf_dir):
+    """VERDICT r2 wrong-#3: the within-cell pair stage must be the
+    ids-only bucket-collect expansion (collect_list of vec ids grouped by
+    cell_id) — never a cell_id self-JOIN whose exchange carries the
+    64-double embedding payloads. Embeddings re-attach only for the
+    surviving candidates' cosine verify (joins keyed on vec ids)."""
+    plan = plan_of(spark, "q_semantic_dedup", sf_dir)
+    assert "collect_list" in plan
+    assert "CartesianProduct" not in plan
+    # (BroadcastNestedLoopJoin appears only as the 1-row broadcast-scalar
+    # crossJoins — n_cells and the centroid fold row; the repo-wide
+    # hygiene test bounds BNLJ build sides across the whole surface)
+    # no pair join keyed on cell_id anywhere in the plan: the candidate
+    # expansion happens inside the bucket aggregate, so every remaining
+    # join keys on vec ids (payload re-attach) or is the broadcast scalar
+    for line in plan.splitlines():
+        if any(j in line for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")):
+            assert "cell_id" not in line, line
+    # the hot-bucket population guard must survive optimization
+    # (assert_true lowers to a raise_error CASE branch in the plan)
+    assert "raise_error" in plan
+
+
 def test_ngram_jaccard_no_nested_loop(spark, sf_dir):
     """VERDICT r1 wrong-#3: candidate generation must come from an
     equi-join on high-cardinality band keys, not low-cardinality blocking

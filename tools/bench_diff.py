@@ -44,6 +44,12 @@ def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     old, new = read_bench(sys.argv[1]), read_bench(sys.argv[2])
+    if "r01" in sys.argv[1].lower():
+        # r1 numbers were single-shot cold runs; r2+ warms up at sf0.001
+        # and takes min-of-2 (ADVICE r2) — cross-protocol ratios mix
+        # measurement-protocol change with plan change
+        print("NOTE: r1 baseline used the old single-shot cold protocol; "
+              "ratios vs r1 are not protocol-comparable.\n")
     regressed = []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]

@@ -17,6 +17,7 @@ import os
 import sys
 
 import duckdb
+import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -31,7 +32,7 @@ def _norm(v: object) -> str:
     compare must: floats to 6 significant digits, None → ∅. Decimal is
     coerced to float so a DECIMAL-typed oracle column can't silently
     string-match a DOUBLE Spark column (VERDICT r1 §wrong 1)."""
-    if v is None:
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, decimal.Decimal):
         v = float(v)
@@ -42,6 +43,28 @@ def _norm(v: object) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _canon_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's pandas canonicalization: columns sorted by
+    name, rows sorted by all column values. Raises TypeError on
+    unhashable cells (list/array columns) exactly like the driver's
+    canonicalizer did for ``q_media_frames`` in CORRECTNESS_r02 — a
+    rows-only query that would ``err`` at the driver must fail here
+    first (VERDICT r2 §next 5)."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _dtype_kinds(pdf: pd.DataFrame) -> dict[str, str]:
+    """Per-column numpy dtype kind after pandas conversion. This is the
+    layer where DuckDB HUGEINT (from an uncasted integer ``sum()``)
+    degrades to float64 while Spark stays int64 — the exact divergence
+    that made the driver hash-fail ``q_sql_tpch_q12`` in round 2 even
+    though ``fetchall()``-based compares saw identical Python ints."""
+    return {c: pdf.dtypes[c].kind for c in pdf.columns}
 
 
 def _type_categories(cols: list[str], rows: list[tuple]) -> dict[str, str]:
@@ -110,41 +133,72 @@ def main() -> None:
             sdf = queries[name](spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            spdf = pd.DataFrame(srows, columns=scols)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failed += 1
             continue
         if name not in oracles:
+            # The driver still canonicalizes rows-only results through
+            # pandas before recording them — an array/struct column errs
+            # there (q_media_frames, CORRECTNESS_r02), so rehearse it.
+            try:
+                _canon_pdf(spdf)
+            except TypeError as ex:
+                print(f"FAIL  {name}: rows-only canonicalizer error "
+                      f"(driver would err): {ex}")
+                failed += 1
+                continue
             print(f"rows  {name}: {len(srows)} rows (rows-only)")
             rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {ex}")
             failed += 1
             continue
+        ocols = list(opdf.columns)
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        scats, ocats = _type_categories(scols, srows), _type_categories(ocols, orows)
-        for c in scols:
-            sc, oc = scats.get(c), ocats.get(c)
-            if sc and oc and "unknown" not in (sc, oc) and sc != oc:
-                problems.append(f"type category {c}: spark={sc} oracle={oc}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount {len(spdf)} != {len(opdf)}")
         if not problems:
-            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            try:
+                spdf, opdf = _canon_pdf(spdf), _canon_pdf(opdf)
+            except TypeError as ex:
+                problems.append(f"canonicalizer error (driver would err): {ex}")
+        if not problems and len(spdf):
+            # dtype kinds are meaningless on empty frames (pandas infers
+            # object for a rowless Spark result; the driver hashes zero
+            # rows identically either way — q_except was green in r1)
+            skinds, okinds = _dtype_kinds(spdf), _dtype_kinds(opdf)
+            for c in spdf.columns:
+                sk, ok = skinds[c], okinds[c]
+                if sk != ok:
+                    problems.append(
+                        f"pandas dtype kind {c}: spark={sk} oracle={ok} "
+                        f"(driver hashes these differently — cast the "
+                        f"oracle column, cf. q12 HUGEINT)")
+        if not problems:
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
+            orows = [tuple(r) for r in opdf.itertuples(index=False)]
+            scats = _type_categories(list(spdf.columns), srows)
+            ocats = _type_categories(list(opdf.columns), orows)
+            for c in spdf.columns:
+                sc, oc = scats.get(c), ocats.get(c)
+                if sc and oc and "unknown" not in (sc, oc) and sc != oc:
+                    problems.append(f"type category {c}: spark={sc} oracle={oc}")
+            sh = value_hash(list(spdf.columns), srows)
+            oh = value_hash(list(opdf.columns), orows)
             if sh != oh:
                 problems.append(f"value hash {sh} != {oh}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed += 1
         else:
-            print(f"ok    {name}: {len(srows)} rows")
+            print(f"ok    {name}: {len(spdf)} rows")
             passed += 1
 
     print(f"\n{passed} oracle-ok, {rows_only} rows-only, {failed} FAILED")
