@@ -51,11 +51,19 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def cells_equal(a, b) -> bool:
     """Strict cell compare: floats at rel_tol 1e-9 (one-ulp associativity
     noise only, not the whole-dollar granularity a global %.6g compare
-    would allow on 7-digit revenues — ADVICE r2); everything else exact."""
+    would allow on 7-digit revenues — ADVICE r2); everything else exact.
+
+    One carve-out: a ROUND(x, 2) knife-edge — engines whose raw sums
+    differ by 1 ulp can round to adjacent cents (TPC-H Q9 at sf0.01:
+    842247.87 vs .88, rel 1.2e-8). Accept it only when the diff is at
+    most one cent AND both cells hash identically at the driver's %.6g —
+    i.e. never looser than the gate this test mirrors."""
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) or math.isnan(b):
             return math.isnan(a) and math.isnan(b)
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+        if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12):
+            return True
+        return abs(a - b) <= 0.0101 and f"{a:.6g}" == f"{b:.6g}"
     return a == b
 
 
