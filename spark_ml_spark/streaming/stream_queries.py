@@ -38,6 +38,9 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch math and F.window alignment follow the session timezone; pin
     # UTC so results match the DuckDB oracle in any driver session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # declared-schema reads don't infer, but pin the conf anyway so any
+    # batch re-read of the same files in this session agrees (LTZ)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # the file stream source wants a directory; glob-filter to the events
     # table (in production this is the landing directory new files arrive in)
     return (
