@@ -67,6 +67,18 @@ HEADLINE = (
     # fact join + Q21 semi/anti double correlation)
     "q_sql_tpch_q9",
     "q_sql_tpch_q21",
+    # round-3: the families first driver-graded this round — event
+    # analytics, second-wave aggs, and the bucketed exchange-free join —
+    # benched so their scale posture is measured, not asserted
+    "q_window_range_frame",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_gap_fill",
+    "q_incremental_agg",
+    "q_heavy_hitters",
+    "q_zorder_layout",
+    "q_custom_udaf",
+    "q_bucketed_join",
 )
 
 
