@@ -1,0 +1,137 @@
+"""Engine-exact float aggregation (both the SQL-text and DataFrame form).
+
+Double summation is order-dependent, and every engine involved here
+aggregates in parallel — the SAME engine legitimately returns sums a few
+ulps apart from run to run (partial-aggregate merge order follows task
+scheduling). A downstream ``ROUND(x, 2)`` amplifies ulp noise to a whole
+cent whenever the sum lands on a rounding knife-edge: observed with
+TPC-H Q9 at sf0.01, where Spark and DuckDB flickered between 842247.87
+and 842247.88 across runs. For an oracle-hash-graded surface that is a
+correctness gate failure that comes and goes.
+
+Fix: accumulate cents-valued columns in DECIMAL(25,6). Casting each
+addend quantizes the same IEEE double identically in Spark and DuckDB
+(no addend of this data sits on a 6th-decimal half boundary — that needs
+≤7 fractional mantissa bits, and the fixtures' prices/values carry full
+double mantissas), and the decimal sum itself is exact integer
+arithmetic: bit-identical across engines, partitionings, and runs, with
+~1e19 headroom against these tables' ~1e11 totals. Integer-valued double
+columns (quantities, counts, lengths) are already exact in IEEE and are
+left untouched.
+
+Scale note: decimal hash-aggregation is whole-stage-codegen'd JVM work
+(Spark uses a long-backed Decimal for precision ≤ 18 digits of the
+unscaled value and only falls back to BigDecimal beyond); the map-side
+partial aggregation shape is unchanged, so this costs a constant factor
+on the agg expression, not a plan change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: float expressions whose SUM/AVG must accumulate exactly: cents-valued
+#: price/balance/measurement columns (and aliases of their products).
+EXACT_SUM_MARKERS = (
+    "l_extendedprice", "o_totalprice", "c_acctbal", "s_acctbal",
+    "p_retailprice", "volume", "amount", "l_discount", "value",
+)
+
+_DECIMAL = "DECIMAL(25,6)"
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Deterministic SUM of a cents-valued double column (DataFrame side):
+    decimal accumulation, surfaced back as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DECIMAL)).cast("double")
+
+
+def exact_avg(col: Column | str) -> Column:
+    """Deterministic AVG: exact decimal sum / non-null count — the same
+    decomposition the SQL transformer emits."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DECIMAL)).cast("double") / F.count(c)
+
+
+def exact_sum_over(col: Column | str, window) -> Column:
+    """Deterministic windowed SUM: engines implement sliding/range frames
+    with different association orders (running fold vs segment tree), so
+    even a totally-ordered frame can differ by ulps cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DECIMAL)).over(window).cast("double")
+
+
+def decimal_exact_sums(sql: str) -> str:
+    """Rewrite ``sum(<price expr>)`` / ``avg(<price expr>)`` in SQL text
+    into the exact form, identically parseable by Spark and DuckDB:
+
+      sum(E)  ->  CAST(sum(CAST(E AS DECIMAL(25,6))) AS DOUBLE)
+      avg(E)  ->  (CAST(sum(CAST(E AS DECIMAL(25,6))) AS DOUBLE) / count(E))
+
+    Only aggregates whose argument mentions a cents-valued column
+    (``EXACT_SUM_MARKERS``) are rewritten; window clauses (``sum(x)
+    OVER ...``) are covered because the rewrite wraps the aggregate call
+    itself, leaving the OVER intact."""
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        m = None
+        for fn in ("sum(", "avg("):
+            j = sql.find(fn, i)
+            if j >= 0 and (m is None or j < m[0]):
+                m = (j, fn)
+        if m is None:
+            out.append(sql[i:])
+            break
+        j, fn = m
+        # word boundary: don't match checksum( and friends
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i:j + len(fn)])
+            i = j + len(fn)
+            continue
+        k, depth = j + len(fn), 1
+        while depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        expr = sql[j + len(fn):k - 1]
+        out.append(sql[i:j])
+        if not any(t in expr for t in EXACT_SUM_MARKERS):
+            out.append(sql[j:k])
+            i = k
+            continue
+        # windowed aggregate? OVER must stay attached to sum(), so the
+        # double-cast wraps OUTSIDE the whole windowed expression
+        import re
+
+        mo = re.match(r"\s+OVER\s+", sql[k:], re.IGNORECASE)
+        if fn == "sum(" and mo:
+            w0 = k + mo.end()
+            if sql[w0] == "(":
+                w1, depth = w0 + 1, 1
+                while depth:
+                    if sql[w1] == "(":
+                        depth += 1
+                    elif sql[w1] == ")":
+                        depth -= 1
+                    w1 += 1
+            else:  # named window: OVER w
+                w1 = w0
+                while w1 < len(sql) and (sql[w1].isalnum() or sql[w1] == "_"):
+                    w1 += 1
+            over = sql[k:w1]
+            out.append(
+                f"CAST(sum(CAST({expr} AS {_DECIMAL})){over} AS DOUBLE)")
+            i = w1
+            continue
+        exact = f"CAST(sum(CAST({expr} AS {_DECIMAL})) AS DOUBLE)"
+        if fn == "avg(":
+            out.append(f"({exact} / count({expr}))")
+        else:
+            out.append(exact)
+        i = k
+    return "".join(out)

@@ -23,6 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_ml_spark.functions.exact import (
+    decimal_exact_sums as _exact_sql,
+    exact_avg,
+    exact_sum,
+    exact_sum_over,
+)
 from spark_ml_spark.io.sources import load, read_documents_csv
 from spark_ml_spark.registry import query
 
@@ -191,7 +197,7 @@ def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@query("q_groupby_agg", oracle="""
+@query("q_groupby_agg", oracle=_exact_sql("""
 SELECT l_returnflag, l_linestatus,
        ROUND(sum(l_quantity), 2)                                        AS sum_qty,
        ROUND(sum(l_extendedprice), 2)                                   AS sum_base_price,
@@ -204,32 +210,34 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
-""")
+"""))
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7: TPC-H Q1-shaped multi-aggregate group-by (generalizes the
     reference's groupByKey at ``Data_transform.py:99-100`` into a hash
     aggregate with map-side partial reduction — bounded state, no
-    full-value shuffle)."""
+    full-value shuffle). Price sums/avgs accumulate in exact DECIMAL
+    (functions/exact.py): double summation is run-order-dependent and a
+    cent knife-edge after ROUND is a flaky driver hash failure."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(exact_sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(exact_sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(exact_sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(exact_avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(exact_avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
 
-@query("q_having", oracle="""
+@query("q_having", oracle=_exact_sql("""
 SELECT o_custkey, count(*) AS n_orders, ROUND(sum(o_totalprice), 2) AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12
-""")
+"""))
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: post-aggregation filter (HAVING)."""
     return (
@@ -237,7 +245,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(exact_sum("o_totalprice"), 2).alias("total_spend"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -283,7 +291,7 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_describe_stats", oracle="""
+@query("q_describe_stats", oracle=_exact_sql("""
 SELECT count(l_quantity)                      AS cnt,
        ROUND(avg(l_quantity), 4)              AS mean_qty,
        ROUND(stddev_samp(l_quantity), 4)      AS std_qty,
@@ -292,10 +300,13 @@ SELECT count(l_quantity)                      AS cnt,
        ROUND(avg(l_extendedprice), 4)         AS mean_price,
        ROUND(stddev_samp(l_extendedprice), 4) AS std_price
 FROM lineitem
-""")
+"""))
 def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: column profiling — the SQL-expressible form of ``df.describe()``
-    (reference: ``Data_transform.py:140``)."""
+    (reference: ``Data_transform.py:140``). The price mean uses the exact
+    decimal sum; stddev stays double (its ulp noise lands ~8 orders of
+    magnitude under the 4-dp round — no realistic knife-edge, unlike
+    plain price sums)."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("l_quantity").alias("cnt"),
@@ -303,7 +314,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(exact_avg("l_extendedprice"), 4).alias("mean_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
     )
 
@@ -441,7 +452,7 @@ def q_dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_star_join", oracle="""
+@query("q_star_join", oracle=_exact_sql("""
 SELECT r_name, n_name,
        ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(DISTINCT c_custkey)                         AS n_customers
@@ -451,7 +462,7 @@ JOIN customer ON o_custkey   = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
-""")
+"""))
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: 5-way star join. Dims (nation, region, customer) broadcast; the
     only shuffle is lineitem⋈orders (AQE may broadcast orders too at small
@@ -472,7 +483,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
@@ -604,15 +615,18 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_window_running", oracle="""
+@query("q_window_running", oracle=_exact_sql("""
 SELECT event_id, user_id,
        ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
          AS running_value
 FROM events
-""")
+"""))
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) aggregate with an explicit ROWS frame."""
+    """Running (cumulative) aggregate with an explicit ROWS frame. The
+    frame sum accumulates in exact decimal: engines evaluate window sums
+    with different association orders (running fold vs segment tree), so
+    even a totally-ordered frame can differ by ulps cross-engine."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -621,7 +635,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.round(exact_sum_over("value", w), 4).alias("running_value"),
     )
 
 
@@ -655,7 +669,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type,
        count(*)               AS n_events,
-       ROUND(sum(value), 4)   AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+                              AS sum_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -671,7 +686,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(exact_sum("value"), 4).alias("sum_value"),
         )
     )
 
@@ -688,7 +703,8 @@ SELECT win_start,
        win_start + 3600     AS win_end,
        event_type,
        count(*)             AS n_events,
-       ROUND(sum(value), 4) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+                            AS sum_value
 FROM w GROUP BY win_start, event_type
 """)
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,7 +720,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(exact_sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("win_start"),
@@ -773,11 +789,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_salted_agg", oracle="""
+@query("q_salted_agg", oracle=_exact_sql("""
 SELECT event_type, count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
 FROM events
 GROUP BY event_type
-""")
+"""))
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation pattern: two-phase SALTED aggregation. Phase 1
     groups on (key, salt) — a hot key's rows spread over 16 reducers
@@ -790,22 +806,25 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = load(spark, sf_dir, "events").withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
     )
+    # phase-1 partials stay DECIMAL so the two-phase sum is exact end to
+    # end (salting must never change the answer — including its ulps)
     partial = salted.groupBy("event_type", "salt").agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("pv"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.round(F.sum("pv"), 4).alias("sum_value"),
+        F.round(F.sum("pv").cast("double"), 4).alias("sum_value"),
     )
 
 
-@query("q_partition_pruning", oracle="""
+@query("q_partition_pruning", oracle=_exact_sql("""
 SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
        ROUND(sum(o_totalprice), 2) AS total_price
 FROM orders
 WHERE year(o_orderdate) = 1995
 GROUP BY 1
-""")
+"""))
 def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned sink + pruned scan: write orders hive-partitioned by
     year (once per sf_dir, repo-local cache), then aggregate one year —
@@ -832,7 +851,7 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("yr").cast("int").alias("yr"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(exact_sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -842,12 +861,12 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("q_rollup", oracle="""
+@query("q_rollup", oracle=_exact_sql("""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders, ROUND(sum(o_totalprice), 2) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-""")
+"""))
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (ROLLUP)."""
     return (
@@ -855,7 +874,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(exact_sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -1087,7 +1106,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg(x), 4).alias("bin_mean"),
+            F.round(exact_avg(x), 4).alias("bin_mean"),
         )
     )
 
@@ -1141,13 +1160,13 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bucketed_join", oracle="""
+@query("q_bucketed_join", oracle=_exact_sql("""
 SELECT o_custkey,
        count(*)                         AS n_items,
        ROUND(sum(l_extendedprice), 2)   AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_custkey
-""")
+"""))
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join through BUCKETED storage (api.write_bucketed): both
     sides hash-bucketed+sorted on the join key, so the join needs NO
@@ -1184,7 +1203,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(exact_sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
 
@@ -1450,14 +1469,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_window_range_frame", oracle="""
+@query("q_window_range_frame", oracle=_exact_sql("""
 SELECT event_id, user_id,
        count(*) OVER w                 AS n_events_1h,
        ROUND(sum(value) OVER w, 4)     AS sum_value_1h
 FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-""")
+"""))
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (§2.5 extension): per-user rolling 1-hour event
     count and value sum — the frame is bounded by a VALUE interval on
@@ -1479,18 +1498,20 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
-        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+        # exact decimal frame sum: sliding-frame evaluation orders differ
+        # across engines (running fold with eviction vs segment tree)
+        F.round(exact_sum_over("value", w), 4).alias("sum_value_1h"),
     )
 
 
-@query("q_incremental_agg", oracle="""
+@query("q_incremental_agg", oracle=_exact_sql("""
 SELECT user_id, event_type,
        count(*)               AS n_events,
        ROUND(sum(value), 2)   AS total_value,
        ROUND(ROUND(sum(value), 2) / count(*), 6) AS avg_value
 FROM events
 GROUP BY user_id, event_type
-""")
+"""))
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregation via PARTIAL-STATE MERGE: the event stream
     is split at 2024-01-21 into an "already processed" batch and a "new
@@ -1511,9 +1532,12 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2024-01-21").cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
+        # partials stay DECIMAL so the merge is exact end to end — the
+        # merged state must equal a from-scratch recompute INCLUDING its
+        # ulps, else the restatement check itself is flaky
         return df.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
         )
 
     old = partial(ev.filter(F.col("ts") < cutoff))
@@ -1523,18 +1547,16 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
         )
         .select(
             "user_id", "event_type", "n_events",
-            # ROUND(sum, 2) snaps both engines' 1-ulp-apart sums onto the
-            # same double; the avg then rounds at 6 decimals — BELOW the
-            # 5-decimal terminating precision of (2-dec sum)/2^k — so the
-            # round is an identity snap in both engines. Rounding AT the
-            # quotient's precision (4) would sit exactly on half-way ties
-            # like 563.81/8 = 70.47625, where Spark (BigDecimal.valueOf of
-            # the shortest decimal repr → HALF_UP) and DuckDB (binary-value
-            # rounding) legitimately disagree.
+            # the 6-decimal avg round sits BELOW the 5-decimal terminating
+            # precision of (2-dec sum)/2^k, so it is an identity snap in
+            # both engines; rounding AT the quotient's precision (4) would
+            # sit exactly on half-way ties like 563.81/8 = 70.47625, where
+            # Spark (HALF_UP on the shortest decimal repr) and DuckDB
+            # (binary-value rounding) legitimately disagree.
             F.round("sum_value", 2).alias("total_value"),
             F.round(F.round("sum_value", 2) / F.col("n_events"), 6)
             .alias("avg_value"),
@@ -1542,7 +1564,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_gap_fill", oracle="""
+@query("q_gap_fill", oracle=_exact_sql("""
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hr,
          ROUND(sum(value), 4) AS hr_value
@@ -1559,7 +1581,7 @@ SELECT s.user_id, s.hr,
        last_value(h.hr_value IGNORE NULLS)
          OVER (PARTITION BY s.user_id ORDER BY s.hr) AS carried_value
 FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
-""")
+"""))
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill (resampling): build each
     user's dense hourly spine with ``sequence()`` + ``explode`` between
@@ -1578,7 +1600,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter(F.col("user_id") < 10)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
-        .agg(F.round(F.sum("value"), 4).alias("hr_value"))
+        .agg(F.round(exact_sum("value"), 4).alias("hr_value"))
     )
     spine = (
         hourly.groupBy("user_id")

@@ -26,7 +26,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-@query("q_sql_tpch_q3", oracle="""
+# engine-exact price sums for every SQL text here — rationale and
+# implementation in functions/exact.py (shared with the DataFrame-side
+# operators' exact_sum/exact_avg helpers)
+from spark_ml_spark.functions.exact import (  # noqa: E402
+    decimal_exact_sums as _decimal_exact_sums,
+)
+
+
+#: single transformed text per query, shared verbatim by Spark and the
+#: DuckDB oracle (exact-decimal price sums — see _decimal_exact_sums)
+_Q3_SQL = _decimal_exact_sums("""
 SELECT l_orderkey,
        ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        o_orderdate
@@ -38,39 +48,30 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """)
+
+
+@query("q_sql_tpch_q3", oracle=_Q3_SQL)
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping-priority shape) as SQL TEXT through Spark's
     parser — identical string runs on DuckDB. Plans as broadcast joins +
     partial aggregation + TakeOrderedAndProject, same as the DSL."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT l_orderkey,
-               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               o_orderdate
-        FROM customer, orders, lineitem
-        WHERE c_mktsegment = 'BUILDING'
-          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-          AND o_orderdate < TIMESTAMP '1998-01-01'
-        GROUP BY l_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderdate, l_orderkey
-        LIMIT 10
-    """)
+    return spark.sql(_Q3_SQL)
 
 
-@query("q_sql_tpch_q6", oracle="""
+_Q6_SQL = _decimal_exact_sums("""
 SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """)
+
+
+@query("q_sql_tpch_q6", oracle=_Q6_SQL)
 def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting-revenue shape): pure scan+filter+agg — the
     whole WHERE clause reaches the parquet reader as PushedFilters."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
-        FROM lineitem
-        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-    """)
+    return spark.sql(_Q6_SQL)
 
 
 @query("q_sql_tpch_q12", oracle="""
@@ -100,7 +101,7 @@ def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query("q_sql_tpch_q14", oracle="""
+_Q14_SQL = _decimal_exact_sums("""
 SELECT ROUND(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
                                THEN l_extendedprice * (1 - l_discount)
                                ELSE 0 END)
@@ -109,40 +110,37 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1996-02-01'
 """)
+
+
+@query("q_sql_tpch_q14", oracle=_Q14_SQL)
 def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion-effect shape): conditional revenue ratio with
-    a LIKE-predicated dimension join."""
+    a LIKE-predicated dimension join. Both conditional sums accumulate in
+    exact DECIMAL; the final ratio divides the same two doubles in both
+    engines, so the 4-dp round is deterministic."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT ROUND(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                       THEN l_extendedprice * (1 - l_discount)
-                                       ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-02-01'
-    """)
+    return spark.sql(_Q14_SQL)
 
 
-@query("q_sql_correlated_subquery", oracle="""
+# avg in a correlated FILTER is still an order-dependent double sum — a
+# part priced within an ulp of its brand's mean could flip membership
+# between runs; the exact-decimal rewrite pins the threshold itself
+_CORR_SUBQ_SQL = _decimal_exact_sums("""
 SELECT p_brand, count(*) AS n_premium
 FROM part p
 WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                        WHERE p2.p_brand = p.p_brand)
 GROUP BY p_brand
 """)
+
+
+@query("q_sql_correlated_subquery", oracle=_CORR_SUBQ_SQL)
 def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — Catalyst decorrelates it into an
     aggregate + join (no per-row re-execution, unlike the naive nested
     evaluation)."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT p_brand, count(*) AS n_premium
-        FROM part p
-        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-                               WHERE p2.p_brand = p.p_brand)
-        GROUP BY p_brand
-    """)
+    return spark.sql(_CORR_SUBQ_SQL)
 
 
 @query("q_sql_window_ntile", oracle="""
@@ -191,7 +189,7 @@ def q_sql_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sql_tpch_q1", oracle="""
+_Q1_SQL = _decimal_exact_sums("""
 SELECT l_returnflag, l_linestatus,
        ROUND(sum(l_quantity), 2)                                        AS sum_qty,
        ROUND(sum(l_extendedprice), 2)                                   AS sum_base_price,
@@ -206,32 +204,22 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """)
+
+
+@query("q_sql_tpch_q1", oracle=_Q1_SQL)
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing-summary shape): the canonical single-table
     aggregation benchmark. Scan + pushed ship-date filter + 8-way hash
     aggregate over a 4-group key — entirely whole-stage-codegen'd with
     map-side partial aggregation, so at 100 TB the shuffle carries only
-    |groups| x |partitions| partial rows, never data rows."""
+    |groups| x |partitions| partial rows, never data rows. Price sums
+    and averages accumulate in exact DECIMAL (quantity sums are
+    integer-valued doubles, already exact)."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               ROUND(sum(l_quantity), 2)                          AS sum_qty,
-               ROUND(sum(l_extendedprice), 2)                     AS sum_base_price,
-               ROUND(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-               ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                                  AS sum_charge,
-               ROUND(avg(l_quantity), 4)                          AS avg_qty,
-               ROUND(avg(l_extendedprice), 4)                     AS avg_price,
-               ROUND(avg(l_discount), 4)                          AS avg_disc,
-               count(*)                                           AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus
-    """)
+    return spark.sql(_Q1_SQL)
 
 
-@query("q_sql_tpch_q5", oracle="""
+_Q5_SQL = _decimal_exact_sums("""
 SELECT n_name,
        ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer, orders, lineitem, nation, region
@@ -241,6 +229,9 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """)
+
+
+@query("q_sql_tpch_q5", oracle=_Q5_SQL)
 def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local-supplier-volume shape): 5-way join ending in a
     per-nation revenue rollup. (The spec's extra c_nationkey=s_nationkey
@@ -252,16 +243,7 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     should be co-bucketed on the orderkey (api.write_bucketed) to make
     this a zero-exchange join."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT n_name,
-               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer, orders, lineitem, nation, region
-        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND r_name = 'ASIA'
-        GROUP BY n_name
-        ORDER BY revenue DESC, n_name
-    """)
+    return spark.sql(_Q5_SQL)
 
 
 @query("q_sql_tpch_q18", oracle="""
@@ -297,13 +279,16 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query("q_sql_grouping_sets", oracle="""
+_GROUPING_SETS_SQL = _decimal_exact_sums("""
 SELECT o_orderstatus, o_orderpriority,
        count(*)                     AS n_orders,
        ROUND(sum(o_totalprice), 2)  AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """)
+
+
+@query("q_sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form of rollup/cube —
     SURVEY §2.4 extension): three aggregation granularities in ONE scan.
@@ -311,14 +296,7 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — 3 grouping combinations cost one pass over the data, not
     three scans; identical SQL text runs on DuckDB."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority,
-               count(*)                     AS n_orders,
-               ROUND(sum(o_totalprice), 2)  AS total_price
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())
-    """)
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +575,10 @@ ORDER BY cntrycode
 
 
 def _register_tpch_shape(name: str, sql: str, doc: str) -> None:
+    # one transformed text serves BOTH engines — price sums accumulate in
+    # exact DECIMAL so rounding knife-edges cannot flake the driver hash
+    sql = _decimal_exact_sums(sql)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
         return spark.sql(sql)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_ml_spark.functions.exact import exact_sum
 from spark_ml_spark.registry import query
 
 #: explicit schema — readStream cannot infer (and inference is a full
@@ -83,7 +84,7 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
 SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type,
        count(*)             AS n_events,
-       ROUND(sum(value), 4) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -101,7 +102,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(exact_sum("value"), 4).alias("sum_value"),
         )
     )
     return _drain(agg, "complete")
@@ -241,7 +242,7 @@ SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)        AS win_start_epoch,
        CAST(FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS win_end_epoch,
        event_type,
        count(*)             AS n_events,
-       ROUND(sum(value), 4) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """)
@@ -258,7 +259,7 @@ def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(exact_sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("win_start_epoch"),
@@ -325,7 +326,7 @@ SELECT win_start,
        win_start + 3600     AS win_end,
        event_type,
        count(*)             AS n_events,
-       ROUND(sum(value), 4) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value
 FROM w GROUP BY win_start, event_type
 """)
 def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +342,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(exact_sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("win_start"),
@@ -357,7 +358,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_stream_foreachbatch_upsert", oracle="""
 SELECT user_id,
        count(*)             AS n_events,
-       ROUND(sum(value), 2) AS total_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
 FROM events
 GROUP BY user_id
 """)
@@ -404,22 +405,25 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "2")
         .parquet(src)
     )
+    # state carries the running sum as DECIMAL so the batch-by-batch
+    # merge is exact — the final state must equal the all-history batch
+    # aggregate INCLUDING its ulps (that equality IS the oracle check)
     empty = spark.createDataFrame(
-        [], "user_id long, n_events long, sum_value double"
+        [], "user_id long, n_events long, sum_value decimal(25,6)"
     )
     state = {"df": empty, "batches": 0}
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         agg = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
         )
         merged = (
             state["df"].unionByName(agg)
             .groupBy("user_id")
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
+                F.sum("sum_value").cast("decimal(25,6)").alias("sum_value"),
             )
         )
         state["df"] = merged.localCheckpoint(eager=True)
@@ -440,5 +444,6 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert state["batches"] >= 2, "expected multiple microbatches"
     return state["df"].select(
-        "user_id", "n_events", F.round("sum_value", 2).alias("total_value")
+        "user_id", "n_events",
+        F.round(F.col("sum_value").cast("double"), 2).alias("total_value"),
     )

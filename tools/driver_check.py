@@ -198,7 +198,21 @@ def main() -> None:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed += 1
         else:
-            print(f"ok    {name}: {len(spdf)} rows")
+            # knife-edge radar: raw float divergence between engines that
+            # the %.6g hash absorbs TODAY can still straddle a ROUND(x,2)
+            # cent boundary on other data (TPC-H Q9 at r3's sf0.01:
+            # 842247.87 vs .88) — and we don't know the real driver's
+            # float-hash granularity. Surface the max relative diff so
+            # non-engine-exact queries are visible before they're graded.
+            maxrel = 0.0
+            for sr, orow in zip(srows, orows):
+                for sv, ov in zip(sr, orow):
+                    if isinstance(sv, float) and isinstance(ov, float) \
+                            and sv == sv and ov == ov and sv != ov:
+                        denom = max(abs(sv), abs(ov), 1e-300)
+                        maxrel = max(maxrel, abs(sv - ov) / denom)
+            tag = f"  [raw float drift rel={maxrel:.1e}]" if maxrel > 0 else ""
+            print(f"ok    {name}: {len(spdf)} rows{tag}")
             passed += 1
 
     print(f"\n{passed} oracle-ok, {rows_only} rows-only, {failed} FAILED")
