@@ -79,6 +79,11 @@ HEADLINE = (
     "q_zorder_layout",
     "q_custom_udaf",
     "q_bucketed_join",
+    # round-3 curation additions (operators/curation.py)
+    "q_vocab_build",
+    "q_substring_dedup",
+    "q_doc_outliers",
+    "q_quantize_embeddings",
 )
 
 

@@ -320,3 +320,40 @@ def test_no_unbounded_nested_loop_join_anywhere(spark, sf_dir):
             if n_identity == 0:
                 offenders.append((name, "BNLJ without identity exchange"))
     assert not offenders, offenders
+
+
+def test_vocab_build_is_topk_not_full_sort(spark, sf_dir):
+    """Vocabulary construction: global top-K must plan as
+    TakeOrderedAndProject (bounded per-partition heaps), never a full
+    Sort of the token-frequency table."""
+    plan = plan_of(spark, "q_vocab_build", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_joins_on_digest(spark, sf_dir):
+    """Duplicated-span detection: the dup-set join key must be the md5
+    digest (32-char), and the plan must stay an equi-join — no
+    CartesianProduct, no row-level Python."""
+    plan = plan_of(spark, "q_substring_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_outliers_centroid_broadcasts(spark, sf_dir):
+    """Prototype-distance outliers: the per-label centroid table joins
+    back via BroadcastHashJoin (the embeddings scan itself must not
+    shuffle for scoring — only the per-label rank exchanges)."""
+    plan = plan_of(spark, "q_doc_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_embeddings_is_map_only(spark, sf_dir):
+    """int8 quantization must add ZERO exchanges: one scan, one
+    projection, all array math inside codegen."""
+    plan = plan_of(spark, "q_quantize_embeddings", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
