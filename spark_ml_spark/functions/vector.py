@@ -39,30 +39,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
-def dot_explicit(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled to ``dim`` explicit element terms.
-
-    Higher-order-function lambdas (``zip_with``/``aggregate``) are
-    evaluated interpretively per element; an unrolled arithmetic
-    expression stays inside whole-stage codegen — measured 2.1× faster
-    end-to-end on the 806k-pair × 64-dim near-dup verify at sf0.1. Use
-    for KNOWN, fixed dims on hot pair-scoring paths; the HOF form stays
-    the default for arbitrary-dimension inputs. Summation is left-
-    associative ascending, the same fold order as ``F.aggregate`` and
-    DuckDB's ``list_sum``, so results are bit-identical to the HOF path."""
-    terms = [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    return s
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text for a dot product unrolled to ``dim`` explicit terms.
+    ``a``/``b`` are COLUMN NAMES; ``x[i]`` subscripts are 0-based in
+    Spark SQL, matching the Column ``[]`` operator. The ``t0 + t1 + …``
+    chain parses left-associative ascending — the same fold order as
+    ``F.aggregate`` and DuckDB's ``list_sum``, so results are
+    bit-identical to the HOF path."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
 
 
-def cosine_explicit(a: Column, b: Column, dim: int) -> Column:
-    """Codegen-friendly fixed-dimension cosine (see ``dot_explicit``);
-    NULL-safe on zero vectors via nullif. Operates directly on the raw
-    (float) array columns — element casts are per-term, so no derived
-    double-array projection exists for CollapseProject to re-inline."""
-    return dot_explicit(a, b, dim) / F.nullif(
-        F.sqrt(dot_explicit(a, a, dim)) * F.sqrt(dot_explicit(b, b, dim)),
-        F.lit(0.0),
+def dot_explicit(a: str, b: str, dim: int) -> Column:
+    """Dot product unrolled to ``dim`` explicit element terms, built as
+    ONE ``F.expr`` string parsed JVM-side.
+
+    Two independent wins over the HOF form on hot pair-scoring paths:
+    (1) higher-order-function lambdas (``zip_with``/``aggregate``) are
+    evaluated interpretively per element, while the unrolled arithmetic
+    stays inside whole-stage codegen — measured 2.1× faster end-to-end
+    on the 806k-pair × 64-dim near-dup verify at sf0.1; (2) building the
+    same tree out of Python ``Column`` operators costs ~800 Py4J
+    round-trips (~4 s of DRIVER time per query build, measured r3 —
+    it dominated q_embedding_neardup's bench time), where one expr
+    string is a single call. Use for KNOWN, fixed dims; the HOF form
+    stays the default for arbitrary-dimension inputs."""
+    return F.expr(_dot_sql(a, b, dim))
+
+
+def cosine_explicit(a: str, b: str, dim: int) -> Column:
+    """Codegen-friendly fixed-dimension cosine over two array column
+    NAMES (see ``dot_explicit``); NULL-safe on zero vectors via NULLIF.
+    Operates directly on the raw (float) array columns — element casts
+    are per-term, so no derived double-array projection exists for
+    CollapseProject to re-inline."""
+    return F.expr(
+        f"({_dot_sql(a, b, dim)}) / NULLIF("
+        f"SQRT({_dot_sql(a, a, dim)}) * SQRT({_dot_sql(b, b, dim)}), 0.0D)"
     )

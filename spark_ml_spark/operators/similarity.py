@@ -163,7 +163,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 (functions.vector.dot_explicit), bit-identical results
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine_explicit(F.col("ea"), F.col("eb"), _EMB_DIM)
+    cos = cosine_explicit("ea", "eb", _EMB_DIM)
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -541,7 +541,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .filter(cosine_explicit(F.col("ea"), F.col("eb"), _EMB_DIM) >= 0.4)
+        .filter(cosine_explicit("ea", "eb", _EMB_DIM) >= 0.4)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(1).cast("long"))

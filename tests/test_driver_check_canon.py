@@ -67,3 +67,15 @@ def test_float_int_cells_hash_differently():
     i = pd.DataFrame({"c": pd.array([7058], dtype="int64")})
     f = pd.DataFrame({"c": pd.array([7058.0], dtype="float64")})
     assert _dtype_kinds(i)["c"] != _dtype_kinds(f)["c"]
+
+
+def test_negative_zero_hashes_differently():
+    """IEEE -0.0 and +0.0 compare equal but format differently ("-0" vs
+    "0") through the grader's cell repr, so they hash apart — the
+    q_doc_outliers failure found at sf0.1 in r3 (DuckDB ROUND keeps the
+    sign bit of a near-zero negative cosine; Spark's does not). Queries
+    must normalize with `+ 0.0`; the gate must keep seeing the
+    difference."""
+    assert value_hash(["c"], [(0.0,)]) != value_hash(["c"], [(-0.0,)])
+    # and the normalization idiom used by the queries does collapse it
+    assert value_hash(["c"], [(-0.0 + 0.0,)]) == value_hash(["c"], [(0.0,)])

@@ -49,7 +49,7 @@ def test_embedding_neardup_recall_vs_exact(spark, sf_dir):
     exact = {
         (r.vec_a, r.vec_b)
         for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine_explicit(F.col("ea"), F.col("eb"), 64) >= 0.4)
+        .filter(cosine_explicit("ea", "eb", 64) >= 0.4)
         .select("vec_a", "vec_b")
         .collect()
     }

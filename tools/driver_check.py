@@ -18,6 +18,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import threading
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -25,6 +26,12 @@ sys.path.insert(0, REPO)
 from spark_ml_spark.registry import collect  # noqa: E402
 from spark_ml_spark.io.sources import TABLES  # noqa: E402
 from spark_ml_spark.session import get_spark  # noqa: E402
+
+#: per-oracle DuckDB wall-clock cap (seconds). Generous vs the graded
+#: sf0.01 scale (every oracle finishes in single-digit seconds there);
+#: exists so robustness sweeps at LARGER fixtures terminate and NAME the
+#: super-linear oracles instead of hanging on one for an hour.
+_ORACLE_TIMEOUT = float(os.environ.get("DRIVER_CHECK_ORACLE_TIMEOUT", "180"))
 
 
 def _norm(v: object) -> str:
@@ -107,6 +114,7 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> None:
+    sys.stdout.reconfigure(line_buffering=True)  # progress visible when piped
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     queries, oracles = collect()
@@ -125,7 +133,7 @@ def main() -> None:
         n = len(e.entry(spark).collect())
         print(f"entry(): {n} rows {'OK' if n >= 0 else 'FAIL'}")
 
-    passed = failed = rows_only = 0
+    passed = failed = rows_only = skipped = 0
     for name in sorted(queries):
         if only and name not in only:
             continue
@@ -153,8 +161,32 @@ def main() -> None:
             rows_only += 1
             continue
         try:
-            opdf = con.execute(oracles[name]).df()
+            # bound each DuckDB oracle: a few oracles are deliberately
+            # naive (recursive-CTE closure, banded self-joins) and go
+            # super-linear on larger-than-graded fixtures — without a cap
+            # an sf0.1 robustness sweep can hang for an hour on one
+            # query. con.interrupt() from a timer thread is the only way
+            # to break a running C call (signal.alarm can't preempt it).
+            timer = threading.Timer(_ORACLE_TIMEOUT, con.interrupt)
+            timer.start()
+            try:
+                opdf = con.execute(oracles[name]).df()
+            finally:
+                timer.cancel()
+        except KeyboardInterrupt:
+            print(f"SKIP  {name}: oracle exceeded {_ORACLE_TIMEOUT:.0f}s "
+                  f"(DuckDB interrupted; not counted as failure — rerun "
+                  f"solo or at graded SF)", flush=True)
+            skipped += 1
+            continue
         except Exception as ex:  # noqa: BLE001
+            if "INTERRUPT" in str(ex).upper() or isinstance(
+                    ex, duckdb.InterruptException):
+                print(f"SKIP  {name}: oracle exceeded {_ORACLE_TIMEOUT:.0f}s "
+                      f"(DuckDB interrupted; not counted as failure — rerun "
+                      f"solo or at graded SF)", flush=True)
+                skipped += 1
+                continue
             print(f"FAIL  {name}: oracle error: {ex}")
             failed += 1
             continue
@@ -215,7 +247,8 @@ def main() -> None:
             print(f"ok    {name}: {len(spdf)} rows{tag}")
             passed += 1
 
-    print(f"\n{passed} oracle-ok, {rows_only} rows-only, {failed} FAILED")
+    print(f"\n{passed} oracle-ok, {rows_only} rows-only, {failed} FAILED"
+          + (f", {skipped} oracle-timeout-skipped" if skipped else ""))
     spark.stop()
     sys.exit(1 if failed else 0)
 
