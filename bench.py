@@ -130,6 +130,19 @@ def main() -> None:
             # tax the next
             spark.catalog.clearCache()
 
+    # machine-speed canary: a FIXED pure-Spark workload (no fixture data)
+    # timed the same way, so round-over-round ratios can separate "the
+    # plans changed" from "the box was slower that day" — observed ±20%
+    # same-session drift on this host (r3); bench_diff reads it when
+    # both artifacts carry one.
+    cal = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        cal.append(time.perf_counter() - t0)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -137,6 +150,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cal_sec": round(min(cal), 3),
     }))
     spark.stop()
 

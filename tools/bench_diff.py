@@ -40,10 +40,38 @@ def read_bench(path: str) -> dict[str, float]:
     raise ValueError(f"no bench JSON found in {path}")
 
 
+def read_cal(path: str) -> float | None:
+    """The bench's machine-speed canary (cal_sec), if the artifact has one."""
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict):
+            if "cal_sec" in doc:
+                return doc["cal_sec"]
+            if isinstance(doc.get("parsed"), dict):
+                return doc["parsed"].get("cal_sec")
+            text = doc.get("tail", "")
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line).get("cal_sec")
+    return None
+
+
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     old, new = read_bench(sys.argv[1]), read_bench(sys.argv[2])
+    oc, nc = read_cal(sys.argv[1]), read_cal(sys.argv[2])
+    if oc and nc:
+        print(f"machine canary: old {oc:.3f}s new {nc:.3f}s "
+              f"(box speed ratio {nc / oc:4.2f}x — divide query ratios by "
+              f"this before reading them as plan changes)\n")
+    elif nc:
+        print(f"machine canary: new {nc:.3f}s (old artifact has none — "
+              f"query ratios conflate plan and machine-speed changes)\n")
     if "r01" in sys.argv[1].lower():
         # r1 numbers were single-shot cold runs; r2+ warms up at sf0.001
         # and takes min-of-2 (ADVICE r2) — cross-protocol ratios mix
