@@ -211,3 +211,55 @@ def test_gap_fill_spine_is_dense(spark, sf_dir):
         series.sort(key=lambda r: r.hr)
         for a, b in zip(series, series[1:]):
             assert (b.hr - a.hr) == datetime.timedelta(hours=1)
+
+
+def test_curation_op_invariants(spark, sf_dir):
+    """Structural invariants of the r3 curation operators that must hold
+    on ANY fixture regeneration (the oracle gate proves engine-equality;
+    these prove the semantics themselves).
+
+    - vocab: df <= tf per token (a doc contributes >=1 occurrence), the
+      cut is exactly K rows (or the full vocabulary if smaller) in
+      (tf desc, token) order;
+    - substring dedup: dup_spans <= total_spans, ppm in [0, 1e6], and a
+      doc's total spans == its token count - 7;
+    - outliers: exactly OUTLIER_K flagged per label, rank is a
+      permutation of 1..n within each label;
+    - quantization: q range within [-127, 127] by construction of the
+      symmetric scale (amax/127 maps the extreme element to +/-127)."""
+    from spark_ml_spark.operators.curation import _OUTLIER_K, _VOCAB_K
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+
+    vocab = queries["q_vocab_build"](spark, sf_dir).collect()
+    assert 0 < len(vocab) <= _VOCAB_K
+    assert all(r.df <= r.tf for r in vocab)
+    assert [(-r.tf, r.token) for r in vocab] == sorted(
+        (-r.tf, r.token) for r in vocab
+    )
+
+    spans = queries["q_substring_dedup"](spark, sf_dir).collect()
+    toks = {
+        r.doc_id: r.ws_tokens
+        for r in queries["q_token_count"](spark, sf_dir).collect()
+    }
+    for r in spans:
+        assert 0 <= r.dup_spans <= r.total_spans
+        assert 0 <= r.dup_ppm <= 1_000_000
+        assert r.total_spans == toks[r.doc_id] - 7
+
+    outl = queries["q_doc_outliers"](spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in outl:
+        by_label.setdefault(r.label, []).append(r)
+    for rows in by_label.values():
+        assert sum(r.is_outlier for r in rows) == min(_OUTLIER_K, len(rows))
+        assert sorted(r.outlier_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+
+    quant = queries["q_quantize_embeddings"](spark, sf_dir).collect()
+    for r in quant:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert r.scale_nano >= 0
