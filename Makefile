@@ -1,3 +1,5 @@
+SHELL := /bin/bash
+
 .PHONY: test check check-small bench plans scaling all
 
 test:            ## full pytest suite (oracle-differential, plans, API, parity, streaming, properties)
@@ -9,9 +11,15 @@ check:           ## driver-contract emulation at sf0.01 (the graded gate)
 check-small:     ## fast contract check at sf0.001
 	python tools/driver_check.py /root/testdata/sf0.001
 
+BASELINE_BENCH := $(shell ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+
 bench:           ## headline timings at sf0.1 (one JSON line) + regression gate vs last round
-	python bench.py | tee /tmp/bench_latest.json
-	python tools/bench_diff.py $(shell ls BENCH_r*.json | sort | tail -1) /tmp/bench_latest.json
+	set -o pipefail; python bench.py | tee /tmp/bench_latest.json
+ifneq ($(BASELINE_BENCH),)
+	python tools/bench_diff.py $(BASELINE_BENCH) /tmp/bench_latest.json
+else
+	@echo "no BENCH_r*.json baseline — skipping regression diff"
+endif
 
 plans:           ## regenerate PLANS.md plan-evidence artifact
 	python tools/dump_plans.py

@@ -50,6 +50,11 @@ EXACT_SUM_MARKERS = (
 
 _DECIMAL = "DECIMAL(25,6)"
 
+#: public alias for DataFrame-side partial-state casts (streaming state
+#: schemas, salted-agg partials) so the accumulation type has ONE home —
+#: changing precision here changes every engine-exact path at once.
+DECIMAL_TYPE = _DECIMAL
+
 
 def exact_sum(col: Column | str) -> Column:
     """Deterministic SUM of a cents-valued double column (DataFrame side):
@@ -81,15 +86,18 @@ def decimal_exact_sums(sql: str) -> str:
       avg(E)  ->  (CAST(sum(CAST(E AS DECIMAL(25,6))) AS DOUBLE) / count(E))
 
     Only aggregates whose argument mentions a cents-valued column
-    (``EXACT_SUM_MARKERS``) are rewritten; window clauses (``sum(x)
-    OVER ...``) are covered because the rewrite wraps the aggregate call
-    itself, leaving the OVER intact."""
+    (``EXACT_SUM_MARKERS``) are rewritten; matching is case-insensitive
+    (an uppercase ``SUM(`` silently keeping the order-dependent double
+    path would defeat the pass); window clauses (``sum(x) OVER ...`` and
+    ``avg(x) OVER ...``, parenthesized or named) are covered — the OVER
+    stays attached to each aggregate call inside the rewritten form."""
     out: list[str] = []
+    lower = sql.lower()
     i = 0
     while i < len(sql):
         m = None
         for fn in ("sum(", "avg("):
-            j = sql.find(fn, i)
+            j = lower.find(fn, i)
             if j >= 0 and (m is None or j < m[0]):
                 m = (j, fn)
         if m is None:
@@ -114,12 +122,13 @@ def decimal_exact_sums(sql: str) -> str:
             out.append(sql[j:k])
             i = k
             continue
-        # windowed aggregate? OVER must stay attached to sum(), so the
-        # double-cast wraps OUTSIDE the whole windowed expression
+        # windowed aggregate? OVER must stay attached to each aggregate
+        # call, so the double-cast wraps OUTSIDE the windowed sum and the
+        # avg decomposition gives BOTH the sum and the count the frame
         import re
 
         mo = re.match(r"\s+OVER\s+", sql[k:], re.IGNORECASE)
-        if fn == "sum(" and mo:
+        if mo:
             w0 = k + mo.end()
             if sql[w0] == "(":
                 w1, depth = w0 + 1, 1
@@ -134,8 +143,11 @@ def decimal_exact_sums(sql: str) -> str:
                 while w1 < len(sql) and (sql[w1].isalnum() or sql[w1] == "_"):
                     w1 += 1
             over = sql[k:w1]
-            out.append(
-                f"CAST(sum(CAST({expr} AS {_DECIMAL})){over} AS DOUBLE)")
+            exact_w = f"CAST(sum(CAST({expr} AS {_DECIMAL})){over} AS DOUBLE)"
+            if fn == "avg(":
+                out.append(f"({exact_w} / count({expr}){over})")
+            else:
+                out.append(exact_w)
             i = w1
             continue
         exact = f"CAST(sum(CAST({expr} AS {_DECIMAL})) AS DOUBLE)"

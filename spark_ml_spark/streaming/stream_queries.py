@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spark_ml_spark.functions.exact import exact_sum
+from spark_ml_spark.functions.exact import DECIMAL_TYPE, decimal_exact_sums as _exact_sql, exact_sum
 from spark_ml_spark.registry import query
 
 #: explicit schema — readStream cannot infer (and inference is a full
@@ -80,14 +80,14 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(sink)
 
 
-@query("q_stream_tumbling", oracle="""
+@query("q_stream_tumbling", oracle=_exact_sql("""
 SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type,
        count(*)             AS n_events,
-       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value
+       ROUND(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
-""")
+"""))
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-hour aggregation: readStream over the events
     parquet → stateful hash aggregation → complete-mode memory sink,
@@ -237,15 +237,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(joined, "append")
 
 
-@query("q_stream_event_window", oracle="""
+@query("q_stream_event_window", oracle=_exact_sql("""
 SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)        AS win_start_epoch,
        CAST(FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS win_end_epoch,
        event_type,
        count(*)             AS n_events,
-       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value
+       ROUND(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
-""")
+"""))
 def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation with a watermark — the
     late-data-tolerant form (``withWatermark`` bounds state so the
@@ -272,11 +272,11 @@ def q_stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "complete")
 
 
-@query("q_stream_to_parquet", oracle="""
+@query("q_stream_to_parquet", oracle=_exact_sql("""
 SELECT event_id, user_id, ROUND(value, 4) AS value
 FROM events
 WHERE event_type = 'purchase' AND value > 50
-""")
+"""))
 def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → PARQUET FILE SINK with checkpointing (the production
     sink shape, unlike the memory-sink test harness): a stateless
@@ -314,7 +314,7 @@ def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@query("q_stream_sliding_window", oracle="""
+@query("q_stream_sliding_window", oracle=_exact_sql("""
 WITH s AS (
   SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS base,
          event_type, value
@@ -326,9 +326,9 @@ SELECT win_start,
        win_start + 3600     AS win_end,
        event_type,
        count(*)             AS n_events,
-       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value
+       ROUND(sum(value), 4) AS sum_value
 FROM w GROUP BY win_start, event_type
-""")
+"""))
 def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window aggregation (1 h width / 30 min slide,
     watermarked): every event updates width/slide = 2 window states —
@@ -355,13 +355,13 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "complete")
 
 
-@query("q_stream_foreachbatch_upsert", oracle="""
+@query("q_stream_foreachbatch_upsert", oracle=_exact_sql("""
 SELECT user_id,
        count(*)             AS n_events,
-       ROUND(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
+       ROUND(sum(value), 2) AS total_value
 FROM events
 GROUP BY user_id
-""")
+"""))
 def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``foreachBatch`` MERGE-INTO-STATE — the production pattern for
     sinks without native streaming upsert (JDBC, Delta MERGE, key-value
@@ -409,21 +409,21 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge is exact — the final state must equal the all-history batch
     # aggregate INCLUDING its ulps (that equality IS the oracle check)
     empty = spark.createDataFrame(
-        [], "user_id long, n_events long, sum_value decimal(25,6)"
+        [], f"user_id long, n_events long, sum_value {DECIMAL_TYPE}"
     )
     state = {"df": empty, "batches": 0}
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         agg = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast(DECIMAL_TYPE)).alias("sum_value"),
         )
         merged = (
             state["df"].unionByName(agg)
             .groupBy("user_id")
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").cast("decimal(25,6)").alias("sum_value"),
+                F.sum("sum_value").cast(DECIMAL_TYPE).alias("sum_value"),
             )
         )
         state["df"] = merged.localCheckpoint(eager=True)

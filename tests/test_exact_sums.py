@@ -54,3 +54,26 @@ def test_case_expr_sum():
         "SELECT sum(CASE WHEN x THEN volume ELSE 0 END) FROM t")
     assert ("sum(CAST(CASE WHEN x THEN volume ELSE 0 END "
             "AS DECIMAL(25,6)))") in out
+
+
+def test_windowed_avg_gets_frame_on_both_terms():
+    """avg(x) OVER w must decompose into sum-over-w / count-over-w —
+    previously the OVER branch was sum-only and produced an OVER glued
+    to a parenthesized division, which neither engine parses."""
+    out = decimal_exact_sums(
+        "SELECT avg(value) OVER (PARTITION BY u) AS a FROM e")
+    assert ("(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY u) "
+            "AS DOUBLE) / count(value) OVER (PARTITION BY u))") in out
+
+
+def test_uppercase_aggregates_are_rewritten():
+    """Conventional uppercase SQL must not silently skip the exact pass."""
+    out = decimal_exact_sums("SELECT SUM(volume), AVG(o_totalprice) FROM t")
+    assert "SUM(volume)" not in out
+    assert "AVG(o_totalprice)" not in out
+    assert out.count("DECIMAL(25,6)") == 2
+
+
+def test_uppercase_word_boundary_not_matched():
+    sql = "SELECT CHECKSUM(value) FROM t"
+    assert decimal_exact_sums(sql) == sql
