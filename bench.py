@@ -81,6 +81,7 @@ HEADLINE = (
     "q_bucketed_join",
     # round-3 curation additions (operators/curation.py)
     "q_vocab_build",
+    "q_tokenize_ids",
     "q_substring_dedup",
     "q_doc_outliers",
     "q_quantize_embeddings",

@@ -320,3 +320,74 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(qe, F.abs), F.lit(0).cast("long"), lambda acc, v: acc + v
         ).alias("q_l1"),
     )
+
+
+@query("q_tokenize_ids", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT)
+           AS token_id
+  FROM toks
+  GROUP BY token
+  ORDER BY count(*) DESC, token
+  LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT)                              AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)                                       AS n_oov,
+       CAST(sum(COALESCE(v.token_id, 0)) AS BIGINT)          AS id_sum
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+""")
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: tokenizer application — map every token to its id in the
+    corpus-built vocabulary (id = 1-based rank by tf desc, token asc —
+    the same deterministic order as ``q_vocab_build``'s cut) and report
+    per-document token count, out-of-vocabulary count, and the exact
+    integer id checksum. Together with ``q_vocab_build`` (build) and
+    ``q_token_packing`` (pack) this closes the vocab → encode → pack
+    path of a pretraining data pipeline.
+
+    Scale shape: the vocabulary is aggregated once (map-side combine)
+    and is SMALL by construction (top-K), so the id assignment is a
+    single-partition 64-row window followed by a BROADCAST hash join
+    against the exploded token stream — the corpus never shuffles for
+    encoding; the only corpus-sized exchange is the final per-doc
+    hash-aggregate. OOV accounting stays in the same pass via the left
+    join's null channel. All outputs integer (module docstring)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    wv = Window.orderBy(F.col("tf").desc(), "token")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.row_number().over(wv).cast("long").alias("token_id"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("token_id"), F.lit(0)))
+            .cast("long")
+            .alias("id_sum"),
+        )
+    )

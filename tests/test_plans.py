@@ -357,3 +357,13 @@ def test_quantize_embeddings_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tokenize_ids_vocab_broadcasts(spark, sf_dir):
+    """Tokenizer application: the top-K vocab (tiny by construction)
+    must reach the token stream via BroadcastHashJoin — the corpus never
+    shuffles for encoding."""
+    plan = plan_of(spark, "q_tokenize_ids", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -263,3 +263,10 @@ def test_curation_op_invariants(spark, sf_dir):
     for r in quant:
         assert -127 <= r.q_min <= r.q_max <= 127
         assert r.scale_nano >= 0
+
+    enc = queries["q_tokenize_ids"](spark, sf_dir).collect()
+    for r in enc:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.n_tokens == toks[r.doc_id]
+        # ids are 1..K, so the checksum is bounded by in-vocab count * K
+        assert 0 <= r.id_sum <= (r.n_tokens - r.n_oov) * _VOCAB_K
