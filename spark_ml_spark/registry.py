@@ -103,14 +103,17 @@ _GRADED_WINDOW = (
     "q_sql_tpch_q12",
     "q_media_frames",
     "q_semantic_dedup",
+    # --- round-3 curation ops (added mid-round; in-window so that after
+    # r3 EVERY registered query has a driver row — the five anchors they
+    # displaced are already driver-green in r1/r2) ---
+    "q_vocab_build",
+    "q_tokenize_ids",
+    "q_substring_dedup",
+    "q_doc_outliers",
+    "q_quantize_embeddings",
     # --- continuity anchors (driver-green in r1/r2, one per family) ---
     "q_flagship",
     "q_exact_dedup",
-    "q_minhash_native",
-    "q_embedding_neardup",
-    "q_ngram_jaccard",
-    "q_llm_pipeline",
-    "q_training_data_prep",
     "q_sql_tpch_q1",
     "q_stream_event_window",
 )
