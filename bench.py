@@ -85,6 +85,13 @@ HEADLINE = (
     "q_substring_dedup",
     "q_doc_outliers",
     "q_quantize_embeddings",
+    # round-3 second wave: LM quality scoring, RAG chunking, PQ/ADC ANN
+    "q_lm_score",
+    "q_chunk_documents",
+    "q_pq_topk",
+    # round-3 wave 4: mixture budgeting + order-statistic clamping
+    "q_budget_allocate",
+    "q_winsorize",
 )
 
 

@@ -391,3 +391,455 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("id_sum"),
         )
     )
+
+
+@query("q_lm_score", oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+model AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+),
+stats AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM model
+),
+scored AS (
+  -- surprisal quantized to integer micro-nats at the MODEL (vocab-sized)
+  -- table, so ln() is evaluated once per distinct token and every
+  -- downstream sum is exact order-free BIGINT arithmetic
+  SELECT token,
+         CAST(floor(-ln((c + 1) / (n + v)) * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM model, stats
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT)      AS n_tokens,
+       CAST(sum(sc.s) AS BIGINT)     AS surprisal_micro,
+       CAST(floor(sum(sc.s) * 1.0 / count(*) + 0.5) AS BIGINT) AS xent_micro
+FROM toks t JOIN scored sc USING (token)
+GROUP BY t.doc_id
+""")
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: unigram language-model quality scoring — the CCNet shape
+    (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): fit a unigram LM on the corpus
+    (add-one smoothing over the observed vocabulary), then score every
+    document by its total and mean per-token surprisal (cross-entropy).
+    High-perplexity docs are the curation-filter candidates.
+
+    Engine exactness: surprisal is quantized to integer micro-nats AT
+    THE MODEL TABLE (one ``ln`` per distinct token, |V| evaluations
+    total), so the per-document reduction is exact BIGINT summation —
+    order-free across partial-aggregate merge orders and engines. The
+    mean divides two exact integers through one IEEE divide + floor.
+
+    Scale shape: model build is explode → hash-agg with map-side combine
+    (|V| rows out); the model is vocabulary-sized, so scoring is a
+    BROADCAST join against the token stream — the corpus never shuffles
+    for scoring; the only corpus-sized exchange is the final per-doc
+    aggregate. At 100 TB the model would be fit on a held-out slice
+    (CCNet fits on Wikipedia) — same plan, smaller model input."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    # persist: the model feeds BOTH the (n, v) stats row and the scored
+    # vocabulary — without it Catalyst re-derives the whole explode+agg
+    # subtree (= a second full corpus scan) for the stats branch
+    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    stats = model.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = model.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.floor(
+            -F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))) * 1000000.0
+            + F.lit(0.5)
+        ).cast("long").alias("s"),
+    )
+    return (
+        toks.join(F.broadcast(scored), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s").alias("surprisal_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_micro",
+            F.floor(
+                F.col("surprisal_micro") * 1.0 / F.col("n_tokens") + F.lit(0.5)
+            ).cast("long").alias("xent_micro"),
+        )
+    )
+
+
+#: chunking geometry: window of 32 tokens advancing by 24 (8-token overlap)
+_CHUNK_C = 32
+_CHUNK_S = 24
+
+
+@query("q_chunk_documents", oracle=rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {_CHUNK_C} THEN 1
+              ELSE CAST(floor((len(t) - {_CHUNK_C} + {_CHUNK_S - 1})
+                         / {_CHUNK_S}.0) AS BIGINT) + 1 END AS nc
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS BIGINT)                 AS chunk_id,
+       CAST(i * {_CHUNK_S} AS BIGINT)    AS tok_start,
+       CAST(len(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_C}]) AS BIGINT)
+         AS n_chunk_toks,
+       md5(array_to_string(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_C}], ' '))
+         AS chunk_hash
+FROM c, unnest(range(nc)) AS u(i)
+""")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: overlapping token-window chunking — split every document into
+    32-token windows advancing by 24 (the
+    context-window / RAG-passage segmentation pass), emitting per chunk
+    its offset, token count, and content digest. The digest (not the
+    text) is the output so downstream chunk-level dedup can run on
+    32-char keys, and so the result stays compact for the driver's
+    canonicalizer.
+
+    Chunk count = ceil((n - C) / S) + 1 for n > C else 1, computed with
+    integer arithmetic (floor over an exact small-int division — the
+    quotient is either exactly representable or ≥ 1/S away from an
+    integer, so cross-engine floor/ceil knife edges cannot occur).
+
+    Scale shape: pure map-only — split, sequence, explode, slice, md5
+    are all codegen expressions; NO shuffle anywhere (the one operator
+    family where "embarrassingly parallel" is literal). At 100 TB this
+    pipelines with the scan; output partitioning inherits the input's,
+    which is exactly what a chunk-then-embed pipeline wants."""
+    C, S = _CHUNK_C, _CHUNK_S
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    n = F.size("t")
+    nc = F.when(n <= C, F.lit(1).cast("long")).otherwise(
+        F.floor((n - C + (S - 1)) / F.lit(float(S))) + 1
+    )
+    chunks = d.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("chunk_id"),
+    )
+    toks = F.slice("t", (F.col("chunk_id") * S + 1).cast("int"), C)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * S).alias("tok_start"),
+        F.size(toks).cast("long").alias("n_chunk_toks"),
+        F.md5(F.concat_ws(" ", toks).cast("binary")).alias("chunk_hash"),
+    )
+
+
+#: PQ geometry: 64 dims = 4 subspaces x 16; 8 centroids per subspace
+#: (deterministically the first 8 vectors); ADC query + top-k
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 8
+_PQ_QID = 42
+_PQ_TOPK = 10
+
+#: DuckDB integer L2 between 16-dim slices of two quantized BIGINT lists
+_PQ_DIST = """list_sum(list_transform(range({sub}),
+    j -> ({a}[{s}*{sub} + j + 1] - {b}[{s}*{sub} + j + 1])
+       * ({a}[{s}*{sub} + j + 1] - {b}[{s}*{sub} + j + 1])))"""
+
+
+@query("q_pq_topk", oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < {_PQ_K}
+),
+qv AS (
+  SELECT qe AS qq FROM q WHERE vec_id = {_PQ_QID}
+),
+dists AS (
+  SELECT q.vec_id, u.s, c.cid,
+         {_PQ_DIST.format(a='q.qe', b='c.qc', s='u.s', sub=_PQ_SUB)} AS d
+  FROM q, cents c, unnest(range({_PQ_M})) AS u(s)
+),
+codes AS (
+  -- deterministic integer argmin: pack (distance, cid) into one BIGINT;
+  -- cid < 10 so the min of d*10+cid breaks distance ties on lowest cid
+  SELECT vec_id, s, min(d * 10 + cid) % 10 AS code
+  FROM dists GROUP BY vec_id, s
+),
+qdist AS (
+  SELECT u.s, c.cid,
+         {_PQ_DIST.format(a='qv.qq', b='c.qc', s='u.s', sub=_PQ_SUB)} AS qd
+  FROM qv, cents c, unnest(range({_PQ_M})) AS u(s)
+),
+adc AS (
+  SELECT k.vec_id,
+         CAST(sum(qd) AS BIGINT) AS adc_dist,
+         CAST(max(CASE WHEN k.s = 0 THEN k.code END) AS BIGINT) AS code0,
+         CAST(max(CASE WHEN k.s = 1 THEN k.code END) AS BIGINT) AS code1,
+         CAST(max(CASE WHEN k.s = 2 THEN k.code END) AS BIGINT) AS code2,
+         CAST(max(CASE WHEN k.s = 3 THEN k.code END) AS BIGINT) AS code3
+  FROM codes k JOIN qdist ON k.s = qdist.s AND k.code = qdist.cid
+  GROUP BY k.vec_id
+)
+SELECT vec_id, adc_dist, code0, code1, code2, code3
+FROM adc WHERE vec_id <> {_PQ_QID}
+ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+""")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: product-quantization ANN (the PQ/ADC shape of Jégou, Douze &
+    Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
+    the standard billion-scale ANN compression): split each 64-dim
+    vector into 4 subspaces of 16 dims, encode each
+    subspace as its nearest of 8 deterministic centroids (the
+    first 8 vectors), then answer a query by Asymmetric Distance
+    Computation — sum of precomputed query↔centroid subspace distances
+    looked up by code — and take the top-10.
+
+    Everything runs in QUANTIZED INTEGER space (per-element thousandths
+    via floor(x*1000 + 0.5)): integer addition is associative, so every
+    distance is bit-exact in any evaluation order and in both engines —
+    no float-summation-order hazard anywhere (module docstring).
+
+    Scale shape: the codebook (K·M tiny) is collected into ONE row and
+    broadcast; encode is an IN-ROW argmin over that broadcast array
+    (aggregate over the 8 candidates per subspace) — a pure projection,
+    NO per-vector shuffle, unlike the naive explode-and-regroup encode.
+    ADC is likewise in-row: element_at(codebook, code) against the
+    broadcast query. The only exchange in the whole plan is the final
+    TakeOrderedAndProject top-k. At 100 TB with K=256: same plan, the
+    codebook row is ~64 KB — still broadcastable; codes (4 bytes/vector)
+    would be written once and reused across queries."""
+    M, SUB, K, QID = _PQ_M, _PQ_SUB, _PQ_K, _PQ_QID
+    qe = F.transform(
+        to_double_array("embedding"),
+        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+    )
+    base = load(spark, sf_dir, "embeddings").select("vec_id", qe.alias("qe"))
+    cb = (
+        base.filter(F.col("vec_id") < K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qe").alias("qc")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    qrow = base.filter(F.col("vec_id") == QID).select(F.col("qe").alias("qq"))
+
+    def subdist(a, b, s: int):
+        # integer L2 over one 16-dim slice: zip→square→fold, all BIGINT
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, s * SUB + 1, SUB),
+                F.slice(b, s * SUB + 1, SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    enc = base.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(qrow))
+
+    def argmin_merge(s: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so the subspace index must be captured, not a default parameter
+        return lambda acc, c: F.least(
+            acc, subdist(F.col("qe"), c["qc"], s) * 10 + c["cid"]
+        )
+
+    cols = [F.col("vec_id")]
+    adc_terms = []
+    for s in range(M):
+        packed = F.aggregate(
+            F.col("cents"),
+            F.lit(1 << 62).cast("long"),
+            argmin_merge(s),
+        )
+        code = (packed % 10).alias(f"code{s}")
+        cols.append(code)
+        cent_qc = F.element_at(F.col("cents"), (F.col(f"code{s}") + 1).cast("int"))["qc"]
+        adc_terms.append((s, cent_qc))
+    coded = enc.select(*cols, F.col("cents"), F.col("qq"))
+    adc = None
+    for s, cent_qc in adc_terms:
+        term = subdist(F.col("qq"), cent_qc, s)
+        adc = term if adc is None else adc + term
+    return (
+        coded.select(
+            "vec_id",
+            adc.alias("adc_dist"),
+            *[F.col(f"code{s}") for s in range(M)],
+        )
+        .filter(F.col("vec_id") != QID)
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_TOPK)
+    )
+
+
+#: global token budget apportioned across sources (largest remainder)
+_BUDGET_T = 1_000_000
+
+
+@query("q_budget_allocate", oracle=rf"""
+WITH tok AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS src_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS w FROM tok),
+base AS (
+  SELECT source, src_tokens,
+         ({_BUDGET_T} * src_tokens) // w AS base_alloc,
+         ({_BUDGET_T} * src_tokens) %  w AS rem
+  FROM tok, tot
+),
+lo AS (SELECT {_BUDGET_T} - sum(base_alloc) AS leftover FROM base)
+SELECT source,
+       src_tokens,
+       CAST(base_alloc AS BIGINT) AS base_alloc,
+       CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_alloc
+            + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                        <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM base, lo
+""")
+def q_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture op: apportion a global token budget T across
+    sources by largest-remainder (Hamilton) rounding — every source gets
+    floor(T·w_s/W) tokens, then the sources with the largest integer
+    remainders get one extra until exactly T is allocated. This is the
+    integer-exact form of "sample source s in proportion to its token
+    mass" that a mixture scheduler needs (fractional quotas don't shard;
+    sum(alloc) == T is the invariant the property test pins).
+
+    Engine exactness: everything is BIGINT — T·w_s (≤ 1e6·corpus tokens,
+    far under 2^63) with integer div/mod, so there is no float anywhere;
+    the remainder rank breaks ties by source name.
+
+    Scale shape: one corpus-sized hash-agg (map-side combine) down to
+    |sources| rows; the total and the leftover are one-row broadcasts;
+    the remainder ranking is a single window over |sources| rows —
+    trivially small by construction (sources ≪ corpus). The corpus
+    never shuffles: only its per-source partial counts do."""
+    T = _BUDGET_T
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("src_tokens"))
+        .persist()  # feeds the total, the base table, and the leftover
+    )
+    tot = tok.agg(F.sum("src_tokens").cast("long").alias("w"))
+    base = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.expr(f"CAST({T} AS BIGINT) * src_tokens div w").alias("base_alloc"),
+        (F.lit(T).cast("long") * F.col("src_tokens") % F.col("w")).alias("rem"),
+    )
+    lo = base.agg((F.lit(T) - F.sum("base_alloc")).cast("long").alias("leftover"))
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    extra = (F.row_number().over(wr) <= F.col("leftover")).cast("long")
+    return base.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "src_tokens",
+        "base_alloc",
+        extra.alias("extra"),
+        (F.col("base_alloc") + extra).alias("alloc"),
+    )
+
+
+@query("q_winsorize", oracle="""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*)     OVER (PARTITION BY lang)                          AS n
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n + 19) // 20      THEN n_chars END) AS p05,
+         max(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS p95
+  FROM r GROUP BY lang
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(b.p05 AS BIGINT) AS p05,
+       CAST(b.p95 AS BIGINT) AS p95,
+       CAST(sum(CASE WHEN d.n_chars < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN d.n_chars > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(sum(least(greatest(d.n_chars, b.p05), b.p95)) AS BIGINT)
+         AS sum_winsorized
+FROM documents d JOIN b USING (lang)
+GROUP BY d.lang, b.p05, b.p95
+""")
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clamping by EXACT order statistics: per language, find the
+    5th/95th-percentile document length as the ceil(q·n)-th order
+    statistic (integer rank arithmetic — (n+19)//20 — so both engines
+    pick the identical element; no interpolation, no float percentile),
+    then winsorize every length into [p05, p95] and report clip counts
+    and the clamped mass. The k-th VALUE is deterministic under ties
+    even though row_number among equal lengths is not: any tie
+    permutation yields the same multiset prefix.
+
+    Scale shape: ranking shuffles by lang once (skew caveat: one giant
+    language concentrates its sort — at 100 TB swap the exact rank for
+    two-phase ``api.global_rank`` within the hot lang, or the
+    approx_percentile sketch when exactness isn't mandated; fixture
+    cardinalities make the per-lang window the right plan). The bounds
+    table is |langs| rows, broadcast back; the clamp pass is map-only
+    and the final per-lang aggregate is partial+final hash agg. All
+    outputs integer (module docstring)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wn = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    b = r.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("n_chars"))).alias("p05"),
+        F.max(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("n_chars"))).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+    return (
+        d.join(F.broadcast(b), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_chars") < F.col("p05")).cast("long")).alias("n_clip_lo"),
+            F.sum((F.col("n_chars") > F.col("p95")).cast("long")).alias("n_clip_hi"),
+            F.sum(clamped).alias("sum_winsorized"),
+        )
+        .select(
+            "lang", "n_docs", "p05", "p95",
+            "n_clip_lo", "n_clip_hi", "sum_winsorized",
+        )
+    )

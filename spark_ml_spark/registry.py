@@ -111,11 +111,16 @@ _GRADED_WINDOW = (
     "q_substring_dedup",
     "q_doc_outliers",
     "q_quantize_embeddings",
-    # --- continuity anchors (driver-green in r1/r2, one per family) ---
+    # --- round-3 second-wave curation ops (LM quality scoring, RAG
+    # chunking, PQ/ADC ANN) — in-window by displacing three continuity
+    # anchors that are already driver-green in BOTH r1 and r2
+    # (q_exact_dedup, q_sql_tpch_q1, q_stream_event_window), so the
+    # "every registered query has a driver row after r3" invariant holds
+    "q_lm_score",
+    "q_chunk_documents",
+    "q_pq_topk",
+    # --- continuity anchor (driver-green in r1+r2) ---
     "q_flagship",
-    "q_exact_dedup",
-    "q_sql_tpch_q1",
-    "q_stream_event_window",
 )
 
 

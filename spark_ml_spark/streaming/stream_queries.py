@@ -447,3 +447,61 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events",
         F.round(F.col("sum_value").cast("double"), 2).alias("total_value"),
     )
+
+
+@query("q_stream_session_window", oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT)              AS sess_start_us,
+       CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS sess_end_us,
+       count(*)                                       AS n_events
+FROM s GROUP BY user_id, sess_id
+""")
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming sessionization — the JVM
+    state-store scale path beside the ``applyInPandasWithState`` twin
+    (``q_stream_stateful_sessions``): events of a user merge into one
+    session while consecutive gaps are under 30 minutes; the window end
+    is last-event + gap. All state management (merge, expiry via
+    watermark) is Spark-internal — no Python in the loop, which is why
+    this form is the 100 TB default and the Pandas-state form is the
+    custom-logic escape hatch.
+
+    Session bounds are emitted as exact epoch MICROSECOND integers
+    (the fixture's ts has micros; unix_micros ↔ epoch_us match
+    bit-for-bit where whole-second epoch casts would round vs truncate
+    differently across engines).
+
+    The oracle is the batch gap-islands formula. Boundary semantics:
+    Spark merges an event into a session only while strictly inside
+    (start, last + gap) — a gap of EXACTLY 30 min starts a new session —
+    so the island break condition is >= gap, not > gap."""
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("sess_start_us"),
+            F.unix_micros("session_window.end").alias("sess_end_us"),
+            "n_events",
+        )
+    )
+    # session-window aggregation supports append (watermark-finalized
+    # sessions only) or complete; complete emits every session on this
+    # finite replay, matching the batch oracle over ALL history
+    return _drain(agg, "complete")

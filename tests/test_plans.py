@@ -367,3 +367,67 @@ def test_tokenize_ids_vocab_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Token-window chunking is the literal embarrassingly-parallel op:
+    split → sequence → explode → slice → md5 must compile to scan +
+    Generate + projections with ZERO exchanges, so at 100 TB it
+    pipelines with the scan."""
+    plan = plan_of(spark, "q_chunk_documents", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode over chunk indices
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_score_model_broadcasts(spark, sf_dir):
+    """Unigram-LM scoring: the vocabulary-sized model must reach the
+    token stream via BroadcastHashJoin (the corpus never shuffles for
+    scoring), and the model subtree must be persisted so the stats
+    branch does not re-scan the corpus."""
+    plan = plan_of(spark, "q_lm_score", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # persisted model, not a re-scan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_budget_allocate_corpus_never_shuffles_rows(spark, sf_dir):
+    """Largest-remainder apportionment: the corpus contributes only
+    per-source partial counts (map-side combine into a hash agg); the
+    totals/leftover are one-row broadcasts; the per-source table is
+    persisted so its build runs once, not three times."""
+    plan = plan_of(spark, "q_budget_allocate", sf_dir)
+    assert "InMemoryTableScan" in plan  # persisted per-source table
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """Winsorize: the |langs|-row bounds table must come back to the
+    corpus via BroadcastHashJoin, and the per-lang ranking is the only
+    corpus-sized window."""
+    plan = plan_of(spark, "q_winsorize", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_topk_is_projection_plus_topk(spark, sf_dir):
+    """PQ/ADC ANN: encode and ADC are IN-ROW expressions against the
+    one-row broadcast codebook — no per-vector shuffle may exist; the
+    only ordering operator is TakeOrderedAndProject, and the three scans
+    (corpus / centroids / query) must push their vec_id filters into the
+    parquet scan."""
+    plan = plan_of(spark, "q_pq_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # no hash/range exchange of the corpus: the only exchanges allowed
+    # are broadcasts and the single-partition codebook collect
+    import re
+    bad = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange (hash|range)partitioning", ln)
+    ]
+    assert not bad, bad
+    assert "PushedFilters" in plan
+    assert "BatchEvalPython" not in plan

@@ -270,3 +270,120 @@ def test_curation_op_invariants(spark, sf_dir):
         assert r.n_tokens == toks[r.doc_id]
         # ids are 1..K, so the checksum is bounded by in-vocab count * K
         assert 0 <= r.id_sum <= (r.n_tokens - r.n_oov) * _VOCAB_K
+
+
+def test_second_wave_curation_invariants(spark, sf_dir):
+    """Structural invariants of the r3 second-wave curation ops
+    (LM scoring / chunking / PQ), fixture-regeneration-proof like
+    test_curation_op_invariants above.
+
+    - lm_score: every token scores, so n_tokens matches the corpus token
+      count; the mean is floor-rounded between the doc's min and max
+      conceivable per-token surprisal (sum/n bracketing);
+    - chunking: chunk ids are dense 0..nc-1 with tok_start = id*S; every
+      chunk but the last is exactly C tokens and the last is 1..C with
+      full coverage of the doc (last start + its length == n for n > C);
+    - pq_topk: exactly TOPK hits, codes in [0, K), the query itself
+      excluded, distances non-negative and non-decreasing in rank order."""
+    from spark_ml_spark.operators.curation import (
+        _CHUNK_C,
+        _CHUNK_S,
+        _PQ_K,
+        _PQ_QID,
+        _PQ_TOPK,
+    )
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+
+    toks = {
+        r.doc_id: r.ws_tokens
+        for r in queries["q_token_count"](spark, sf_dir).collect()
+    }
+
+    lm = queries["q_lm_score"](spark, sf_dir).collect()
+    assert {r.doc_id for r in lm} == set(toks)
+    for r in lm:
+        assert r.n_tokens == toks[r.doc_id]
+        assert r.surprisal_micro > 0
+        # mean is floor(sum/n + .5): within 1 of the exact ratio
+        assert abs(r.xent_micro - r.surprisal_micro / r.n_tokens) <= 1
+
+    chunks = queries["q_chunk_documents"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = toks[doc_id]
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r.tok_start == r.chunk_id * _CHUNK_S
+        *full, last = rows
+        assert all(r.n_chunk_toks == _CHUNK_C for r in full)
+        assert 1 <= last.n_chunk_toks <= _CHUNK_C
+        # coverage: the last window reaches the end of the document
+        assert last.tok_start + last.n_chunk_toks == n or (
+            len(rows) == 1 and last.n_chunk_toks == min(n, _CHUNK_C)
+        )
+
+    pq = queries["q_pq_topk"](spark, sf_dir).collect()
+    assert len(pq) == _PQ_TOPK
+    assert all(r.vec_id != _PQ_QID for r in pq)
+    dists = [r.adc_dist for r in pq]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    for r in pq:
+        for s in range(4):
+            assert 0 <= r[f"code{s}"] < _PQ_K
+
+
+def test_budget_allocation_exactness(spark, sf_dir):
+    """Largest-remainder apportionment MUST hand out exactly T tokens:
+    sum(alloc) == T, every source gets base or base+1, and the number of
+    +1s equals the leftover after the floor pass."""
+    from spark_ml_spark.operators.curation import _BUDGET_T
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    rows = queries["q_budget_allocate"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == _BUDGET_T
+    assert all(r.extra in (0, 1) for r in rows)
+    assert all(r.alloc == r.base_alloc + r.extra for r in rows)
+    assert sum(r.extra for r in rows) == _BUDGET_T - sum(
+        r.base_alloc for r in rows
+    )
+
+
+def test_winsorize_bounds_coherent(spark, sf_dir):
+    """Winsorization invariants per language: p05 <= p95, clip counts
+    bounded by n_docs, and the clamped mass lies in
+    [n_docs*p05, n_docs*p95]."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    for r in queries["q_winsorize"](spark, sf_dir).collect():
+        assert r.p05 <= r.p95
+        assert 0 <= r.n_clip_lo <= r.n_docs
+        assert 0 <= r.n_clip_hi <= r.n_docs
+        assert r.n_docs * r.p05 <= r.sum_winsorized <= r.n_docs * r.p95
+
+
+def test_stream_sessions_disjoint(spark, sf_dir):
+    """Native session_window output: per user, sessions are
+    non-overlapping, each at least gap-long (end = last event + 30 min),
+    ordered starts, with n_events >= 1."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    rows = queries["q_stream_session_window"](spark, sf_dir).collect()
+    gap_us = 1800 * 1_000_000
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.n_events >= 1
+        assert r.sess_end_us - r.sess_start_us >= gap_us
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.sess_start_us)
+        for a, b in zip(sess, sess[1:]):
+            assert a.sess_end_us <= b.sess_start_us
