@@ -92,6 +92,9 @@ HEADLINE = (
     # round-3 wave 4: mixture budgeting + order-statistic clamping
     "q_budget_allocate",
     "q_winsorize",
+    # round-3 wave 5: bloom prefilter + fixed-K sampling
+    "q_bloom_decontaminate",
+    "q_reservoir_sample",
 )
 
 

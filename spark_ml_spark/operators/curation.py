@@ -843,3 +843,207 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clip_lo", "n_clip_hi", "sum_winsorized",
         )
     )
+
+
+#: Bloom geometry: 1024 bits = 32 words x 32 bits, 4 md5-derived hashes
+_BLOOM_BITS = 1024
+_BLOOM_WORDS = 32
+_BLOOM_K = 4
+#: eval source + gram width — same blocklist as q_decontaminate (dedup.py)
+_BLOOM_EVAL_SOURCE = "src1"
+_BLOOM_GRAM = 8
+
+#: DuckDB: value of 3 hex chars of md5({g}) starting at 1-based {p}
+_HEX3 = """(
+  (strpos('0123456789abcdef', substr(md5({g}), {p}, 1)) - 1) * 256
++ (strpos('0123456789abcdef', substr(md5({g}), {p} + 1, 1)) - 1) * 16
++ (strpos('0123456789abcdef', substr(md5({g}), {p} + 2, 1)) - 1))"""
+
+
+def _bloom_oracle() -> str:
+    hx = [_HEX3.format(g="gram", p=1 + 3 * j) for j in range(_BLOOM_K)]
+    probe_ok = " AND ".join(
+        f"(b{j}.mask & (CAST(1 AS BIGINT) << (({hx[j]}) % {_BLOOM_BITS} % 32)))"
+        f" <> 0"
+        for j in range(_BLOOM_K)
+    )
+    joins = "\n".join(
+        f"JOIN bloom b{j} ON b{j}.word = ({hx[j]}) % {_BLOOM_BITS} // 32"
+        for j in range(_BLOOM_K)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([array_to_string(toks[i:i+{_BLOOM_GRAM - 1}], ' ')
+                for i in range(1, len(toks) - {_BLOOM_GRAM - 2})])) AS gram
+  FROM w WHERE len(toks) >= {_BLOOM_GRAM}
+),
+eg AS (SELECT DISTINCT gram FROM g WHERE source = '{_BLOOM_EVAL_SOURCE}'),
+probes AS (
+  SELECT ({hx[0].replace('gram', 'eg.gram')}) % {_BLOOM_BITS} AS p FROM eg
+  UNION ALL
+  SELECT ({hx[1].replace('gram', 'eg.gram')}) % {_BLOOM_BITS} FROM eg
+  UNION ALL
+  SELECT ({hx[2].replace('gram', 'eg.gram')}) % {_BLOOM_BITS} FROM eg
+  UNION ALL
+  SELECT ({hx[3].replace('gram', 'eg.gram')}) % {_BLOOM_BITS} FROM eg
+),
+bloom AS (
+  SELECT r.range AS word,
+         COALESCE(bit_or(CAST(1 AS BIGINT) << (p % 32)), 0) AS mask
+  FROM range({_BLOOM_WORDS}) r LEFT JOIN probes ON probes.p // 32 = r.range
+  GROUP BY r.range
+)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT CASE WHEN {probe_ok} THEN t.gram END) AS BIGINT)
+         AS n_maybe
+FROM g t
+{joins}
+WHERE t.source <> '{_BLOOM_EVAL_SOURCE}'
+GROUP BY t.doc_id
+"""
+
+
+@query("q_bloom_decontaminate", oracle=_bloom_oracle())
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-membership decontamination prefilter: build a
+    1024-bit / 4-hash Bloom filter over the eval source's distinct
+    8-gram shingles, then probe every training gram against it —
+    ``n_maybe`` per document counts grams the filter CANNOT rule out
+    (true hits + deterministic false positives). This is the 100 TB
+    front door to ``q_decontaminate`` (dedup.py): at scale the exact
+    broadcast-join check runs only on the documents the Bloom pass
+    flags, and the filter itself is a few KB regardless of corpus size
+    (a benchmark suite's grams fit 1024 bits here; production sizes m/k
+    to the eval mass — same plan).
+
+    Every bit position derives from md5 substrings (3 hex chars →
+    12-bit value mod 1024) so both engines compute the IDENTICAL
+    filter — the same portability trick as q_simhash_portable, making
+    even the false positives oracle-checkable.
+
+    Scale shape: the build side explodes the (tiny) eval gram set and
+    bit_or's 32 words (partial aggregation); the words are assembled
+    into ONE row and broadcast. The probe is IN-ROW: md5 + element_at +
+    bitwise AND inside a single projection — the corpus never shuffles
+    to be probed; only the final per-doc aggregate exchanges. The
+    Bloom-then-verify composition is the standard two-tier membership
+    design (Bloom 1970, CACM)."""
+    from spark_ml_spark.functions.text import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    # digest each gram ONCE; all four bit positions derive from substrings
+    # of that one digest, and the per-doc distinct counts run on the
+    # 32-char digest, not the 8-word gram text — one md5 evaluation per
+    # gram and a fixed-width shuffle key (gram text never exchanges)
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(word_shingles(F.col("text"), _BLOOM_GRAM)).alias("gram"),
+    ).select("doc_id", "source", F.md5(F.col("gram").cast("binary")).alias("h"))
+
+    def pos_expr(j: int):
+        # 12-bit value from 3 hex chars of the digest, mod 1024 (= _HEX3)
+        return (
+            F.conv(F.substring(F.col("h"), 1 + 3 * j, 3), 16, 10)
+            .cast("long") % _BLOOM_BITS
+        )
+
+    eval_probes = (
+        grams.filter(F.col("source") == _BLOOM_EVAL_SOURCE)
+        .select("h").distinct()
+        .select(
+            F.explode(
+                F.array(*[pos_expr(j) for j in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("bitv"),
+        )
+    )
+    bloom = (
+        spark.range(_BLOOM_WORDS).withColumnRenamed("id", "word")
+        .join(eval_probes.groupBy("word").agg(F.bit_or("bitv").alias("m")), "word", "left")
+        .select("word", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("mask"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("word", "mask"))),
+                lambda s: s["mask"],
+            ).alias("bloom")
+        )
+    )
+
+    probed = grams.filter(F.col("source") != _BLOOM_EVAL_SOURCE).crossJoin(
+        F.broadcast(bloom)
+    )
+    hit = None
+    for j in range(_BLOOM_K):
+        p = pos_expr(j)
+        word_mask = F.element_at("bloom", (p / 32).cast("int") + 1)
+        bitv = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(CAST(conv(substring(h, {1 + 3 * j}, 3), 16, 10) AS BIGINT)"
+            f" % {_BLOOM_BITS} % 32 AS INT))"
+        )
+        ok = word_mask.bitwiseAND(bitv) != 0
+        hit = ok if hit is None else (hit & ok)
+    # word_shingles is already DISTINCT per document (array_distinct runs
+    # in-row before the explode), so plain count/sum suffice — the
+    # two-phase countDistinct expand would double the shuffle rows and
+    # carry per-key distinct state for nothing
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit.cast("long")).alias("n_maybe"),
+        )
+    )
+
+
+#: deterministic per-group reservoir size
+_RSV_K = 50
+
+
+@query("q_reservoir_sample", oracle=f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('rsv1:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+FROM r WHERE rk <= {_RSV_K}
+""")
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-K per-group sample — the distributed stand-in
+    for reservoir sampling (Vitter's Algorithm R needs sequential state;
+    ranking by a salted content hash gives the SAME uniform-without-
+    replacement guarantee, is rerun-stable, and parallelizes): per
+    language, keep the K=50 documents with the smallest
+    md5('rsv1:' || doc_id), doc_id as the total-order tiebreak. The
+    fraction-based twin is ``q_stratified_sample`` (fixed RATE); this is
+    fixed SIZE — what per-domain eval holdouts and few-shot pools need.
+
+    Scale shape: one shuffle on the group key, and the per-group window
+    compiles to WindowGroupLimit (plan-asserted) — partial top-K runs
+    map-side BEFORE the exchange, so the shuffle carries ~K rows per
+    group per input partition, not the corpus. Skew-safe for any group
+    large enough to matter; the salt makes the sample independent of any
+    other hash-gated split in the pipeline (md5 domains are keyed by
+    prefix, same discipline as q_hash_split's 'split:' salt)."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("rsv1:"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .select("lang", F.row_number().over(w).cast("long").alias("rk"), "doc_id")
+        .filter(F.col("rk") <= _RSV_K)
+    )

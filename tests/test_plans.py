@@ -413,6 +413,29 @@ def test_winsorize_bounds_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_bloom_probe_is_in_row(spark, sf_dir):
+    """Bloom decontamination: the filter is ONE broadcast row probed
+    inside a projection (md5 + element_at + bitwise AND) — the corpus
+    must not join per-position; its only exchange is the per-doc
+    aggregate."""
+    plan = plan_of(spark, "q_bloom_decontaminate", sf_dir)
+    # formatted mode splits the node name and its broadcast mode across
+    # lines, so assert them separately: the one-row bloom reaches the
+    # probe via an identity (non-keyed) broadcast
+    assert "BroadcastExchange" in plan
+    assert "IdentityBroadcastMode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    """Fixed-K sampling must compile to WindowGroupLimit so the partial
+    top-K runs map-side before the group-key exchange."""
+    plan = plan_of(spark, "q_reservoir_sample", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_pq_topk_is_projection_plus_topk(spark, sf_dir):
     """PQ/ADC ANN: encode and ADC are IN-ROW expressions against the
     one-row broadcast codebook — no per-vector shuffle may exist; the

@@ -369,6 +369,48 @@ def test_winsorize_bounds_coherent(spark, sf_dir):
         assert r.n_docs * r.p05 <= r.sum_winsorized <= r.n_docs * r.p95
 
 
+def test_bloom_never_misses(spark, sf_dir):
+    """The Bloom prefilter's defining guarantee: NO false negatives.
+    Every document's bloom-maybe count must be >= its exact shared-gram
+    count from q_decontaminate (and <= its total gram count)."""
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    bloom = {
+        r.doc_id: r
+        for r in queries["q_bloom_decontaminate"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.doc_id: r.n_shared_grams
+        for r in queries["q_decontaminate"](spark, sf_dir).collect()
+    }
+    assert bloom, "bloom probe returned no rows"
+    for doc_id, r in bloom.items():
+        assert 0 <= r.n_maybe <= r.n_grams
+        assert r.n_maybe >= exact.get(doc_id, 0), (
+            f"doc {doc_id}: bloom missed true hits"
+        )
+    # and every exactly-contaminated doc appears in the probe output
+    assert set(exact) <= set(bloom)
+
+
+def test_reservoir_sample_density(spark, sf_dir):
+    """Fixed-K reservoir: per language, at most K rows with rank a dense
+    1..min(K, n) prefix, and no duplicate documents."""
+    from spark_ml_spark.operators.curation import _RSV_K
+    from spark_ml_spark.registry import collect
+
+    queries, _ = collect()
+    rows = queries["q_reservoir_sample"](spark, sf_dir).collect()
+    assert len(rows) == len({(r.lang, r.doc_id) for r in rows})
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rk)
+    for rks in by_lang.values():
+        assert len(rks) <= _RSV_K
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
 def test_stream_sessions_disjoint(spark, sf_dir):
     """Native session_window output: per user, sessions are
     non-overlapping, each at least gap-long (end = last event + 30 min),
