@@ -95,6 +95,16 @@ HEADLINE = (
     # round-3 wave 5: bloom prefilter + fixed-K sampling
     "q_bloom_decontaminate",
     "q_reservoir_sample",
+    # round-3 wave 6: selection & mining (operators/selection.py) —
+    # DSIR scoring (the heaviest: two token-explosion passes), grouped
+    # two-phase ranking consumers, CC-based canonical pick, drift diff
+    "q_dsir_select",
+    "q_canonical_docs",
+    "q_domain_split",
+    "q_length_batching",
+    "q_hard_negatives",
+    "q_drift_diff",
+    "q_quantile_normalize",
 )
 
 

@@ -477,3 +477,76 @@ def global_rank(
         )
         .drop("_pid", "_rn", "_pcs")
     )
+
+
+def grouped_rank(
+    df: DataFrame, group_cols: list[str], sort_cols: list[str],
+    partitions: int = 32,
+    rank_col: str = "group_rank", total_col: str = "n_in_group",
+) -> DataFrame:
+    """Per-GROUP 1-based rank over ``sort_cols`` without a one-reducer-
+    per-group window — the grouped twin of :func:`global_rank`.
+
+    A plain ``Window.partitionBy(group).orderBy(key)`` puts every row of
+    a group on ONE task; with few, large groups (languages in a web
+    corpus, length bands in a batching pass) the biggest group becomes a
+    straggler holding 40%+ of the data. Here:
+
+    Phase 1: range-repartition on ``(group_cols + sort_cols)`` so each
+    group spans a *run* of partitions, each partition sorting only its
+    own slice (``row_number`` over ``(_pid, group)``).
+    Phase 2: per-(group, partition) counts fold into one array-of-structs
+    row PER GROUP (|groups| rows), broadcast-joined back on the group
+    key; rank = local rank + earlier-partition counts of the same group.
+
+    Scale bound: the broadcast side is |groups| × |partitions-touching-
+    that-group| structs — meant for few-large-groups skew (its whole
+    point); for high-cardinality small groups use a plain grouped window,
+    which is already skew-free there. ``sort_cols`` must total-order rows
+    within a group (include a tiebreaker). Adds ``rank_col`` and
+    ``total_col`` (group row count, for percentile arithmetic)."""
+    reserved = {"_pid", "_rn", "_gpcs", rank_col, total_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"grouped_rank: input columns collide with working/output "
+            f"names {sorted(clash)}; rename them or pass different "
+            f"rank_col/total_col")
+    if rank_col == total_col:
+        raise ValueError("grouped_rank: rank_col and total_col must differ")
+    ranged = df.repartitionByRange(
+        partitions, *group_cols, *sort_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid", *group_cols).orderBy(*sort_cols)
+    local = ranged.withColumn("_rn", F.row_number().over(w_local))
+    gpcs = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_pid").alias("pid"), F.col("cnt"))
+                )
+            ).alias("_gpcs")
+        )
+    )
+    return (
+        local.join(F.broadcast(gpcs), group_cols)
+        .withColumn(
+            rank_col,
+            F.col("_rn").cast("bigint")
+            + F.aggregate(
+                F.filter("_gpcs", lambda p: p["pid"] < F.col("_pid")),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + p["cnt"],
+            ),
+        )
+        .withColumn(
+            total_col,
+            F.aggregate(
+                "_gpcs", F.lit(0).cast("bigint"), lambda acc, p: acc + p["cnt"]
+            ),
+        )
+        .drop("_pid", "_rn", "_gpcs")
+    )

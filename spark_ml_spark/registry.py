@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.sql_frontend",
     "spark_ml_spark.streaming.stream_queries",
     "spark_ml_spark.operators.curation",
+    "spark_ml_spark.operators.selection",
 )
 
 

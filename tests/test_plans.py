@@ -454,3 +454,60 @@ def test_pq_topk_is_projection_plus_topk(spark, sf_dir):
     assert not bad, bad
     assert "PushedFilters" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """DSIR scoring: the vocab-sized weight table must BROADCAST into
+    the full-corpus token join (the only big-data shuffle is the final
+    per-doc group-by); no cartesian over data-sized inputs and no
+    row-level Python anywhere."""
+    plan = plan_of(spark, "q_dsir_select", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # selection is a bounded top-K, not a full sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_query_side_broadcasts(spark, sf_dir):
+    """Hard-negative mining: the probe/query side is the broadcast side
+    of the scoring join (corpus scans once, never shuffles on a pair
+    key); the per-query top-k runs on band survivors only."""
+    plan = plan_of(spark, "q_hard_negatives", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouped_rank_queries_have_no_global_window(spark, sf_dir):
+    """The two grouped_rank consumers (per-language percentile, per-band
+    batching) must contain NO unpartitioned window — the one-reducer
+    'WindowExec: No Partition Defined' shape — and no window partitioned
+    ONLY by the skewed group key: every window partition key must
+    include the range-partition id."""
+    for name in ("q_quantile_normalize", "q_length_batching"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan
+        # every row_number window spec must be partitioned, and its
+        # partition key list must start with grouped_rank's _pid working
+        # column (range-partition id) — never the bare skewed group key
+        specs = [
+            ln for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+        ]
+        assert specs, f"{name}: expected a window in the plan"
+        for ln in specs:
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            assert spec.startswith("_pid#"), (
+                f"{name}: window not led by the range-partition id: {ln}"
+            )
+
+
+def test_drift_diff_aggregates_before_outer_join(spark, sf_dir):
+    """Snapshot diff: both sides must collapse to per-key counts BEFORE
+    the full-outer join (partial HashAggregate under the join), so the
+    join carries distinct keys, not raw events."""
+    plan = plan_of(spark, "q_drift_diff", sf_dir)
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final on each side
+    assert "BatchEvalPython" not in plan
