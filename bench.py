@@ -105,6 +105,11 @@ HEADLINE = (
     "q_hard_negatives",
     "q_drift_diff",
     "q_quantile_normalize",
+    # round-3 wave 7: BM25 retrieval ranking, Efraimidis-Spirakis
+    # weighted sampling, embedding-centroid drift monitoring
+    "q_bm25_rank",
+    "q_weighted_sample",
+    "q_embedding_drift",
 )
 
 

@@ -1,9 +1,14 @@
-"""Round-3 wave-6: data SELECTION & mining operators for the LLM
-training-data pipeline (north-star N2/N3 depth, SURVEY.md §2.12).
+"""Round-3 waves 6-7: data SELECTION, retrieval & monitoring operators
+for the LLM training-data pipeline (north-star N2/N3 depth, SURVEY.md
+§2.12).
 
-Seven operators covering the "which data do we keep / how do we order
-it" layer that sits between cleaning (dedup/quality, already registered)
-and training:
+Ten operators covering the "which data do we keep / how do we order
+it / how do we watch it" layer that sits between cleaning (dedup/
+quality, already registered) and training. Wave 7 adds ``q_bm25_rank``
+(BM25 retrieval ranking, Robertson/Lucene shape), ``q_weighted_sample``
+(Efraimidis–Spirakis weighted sampling without replacement), and
+``q_embedding_drift`` (per-label centroid shift between snapshots).
+Wave 6:
 
 - ``q_dsir_select``       — DSIR-style importance resampling (Xie et
   al. 2023, "Data Selection for Language Models via Importance
@@ -646,4 +651,340 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
         .alias("pct_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval ranking
+# --------------------------------------------------------------------------
+
+#: BM25 constants (Robertson; the Lucene-default shape). Written as the
+#: same decimal literals in Spark and oracle SQL so both engines parse
+#: the identical doubles (1.2+1 computed at runtime could differ from a
+#: parsed 2.2 in the last bit — precompute k1+1 and 1-b as literals).
+_BM25_K1 = "1.2"
+_BM25_K1P1 = "2.2"
+_BM25_B = "0.75"
+_BM25_1MB = "0.25"
+#: query terms: the 3 tokens whose document frequency is closest to
+#: N/10 (mid-frequency = discriminative; pure-integer |df*10 - N| pick)
+_BM25_NTERMS = 3
+_BM25_TOPK = 20
+
+
+@query("q_bm25_rank", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+           AS dl
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avg_dl AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+vocab AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+qterms AS (
+  SELECT token, df,
+         ln(1.0 + (n.n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM vocab, n
+  ORDER BY abs(df * 10 - n.n_docs), token
+  LIMIT {_BM25_NTERMS}
+),
+tf AS (
+  SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON t.token = q.token
+  GROUP BY t.doc_id, t.token
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           q.idf * (CAST(tf.tf AS DOUBLE) * {_BM25_K1P1})
+           / (CAST(tf.tf AS DOUBLE)
+              + {_BM25_K1} * ({_BM25_1MB}
+                 + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / avg_dl.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM tf
+  JOIN qterms q ON tf.token = q.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN avg_dl
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)       AS n_terms,
+       CAST(sum(c_micro) AS BIGINT)   AS bm25_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {_BM25_TOPK}
+""")
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/RAG: BM25 document ranking (Robertson et al.; the Lucene
+    scoring shape) for a deterministic 3-term query — the 3 tokens
+    whose df is nearest N/10 (mid-frequency, so the query is
+    discriminative on any fixture). idf = ln(1 + (N-df+0.5)/(df+0.5));
+    per-term contribution idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+
+    Scale shape: the vocabulary/df pass is the q_vocab_build counting
+    shape (map-side-combined agg to vocab-sized output); query-term
+    stats and avgdl are one-row/3-row BROADCASTS; per-doc term
+    frequencies come from one explode + equi-join against the broadcast
+    term set (map-only gate, then a (doc,term)-keyed partial agg whose
+    input is already filtered to query-term occurrences only). The
+    top-K is TakeOrderedAndProject. Contributions are quantized to
+    integer micro-units at the (doc, term) row — both engines evaluate
+    the identical IEEE expression tree (constants written as the same
+    decimal literals) — so the per-doc score is an order-free BIGINT
+    sum; ln runs once per query term (3 rows). This is the inverted-
+    index-free BM25 a batch engine uses; a serving system would push
+    the same arithmetic at an index."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint").alias("dl"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avg_dl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    vocab = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = (
+        vocab.crossJoin(F.broadcast(n))
+        .select(
+            "token", "df",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+            F.abs(F.col("df") * 10 - F.col("n_docs")).alias("_dist"),
+        )
+        .orderBy("_dist", "token")
+        .limit(_BM25_NTERMS)
+        .drop("_dist")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("token")), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    k1, k1p1, b, onemb = (
+        F.expr(f"CAST({_BM25_K1} AS DOUBLE)"),
+        F.expr(f"CAST({_BM25_K1P1} AS DOUBLE)"),
+        F.expr(f"CAST({_BM25_B} AS DOUBLE)"),
+        F.expr(f"CAST({_BM25_1MB} AS DOUBLE)"),
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avg_dl))
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf") * (F.col("tf").cast("double") * k1p1)
+                / (
+                    F.col("tf").cast("double")
+                    + k1 * (onemb + b * (F.col("dl").cast("double")
+                                         / F.col("avgdl")))
+                )
+                * 1000000.0 + F.lit(0.5)
+            ).cast("bigint").alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("c_micro").cast("bigint").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+
+#: sample size; weights = n_chars (sample documents ∝ their length)
+_WS_K = 40
+
+#: DuckDB: value of the first 8 hex chars of md5({g}) as a BIGINT
+#: (uint32 range) — strpos-ladder, portable to any engine with md5;
+#: the Spark twin is conv(substr(md5, 1, 8), 16, 10)
+_HEX8 = """(
+  (strpos('0123456789abcdef', substr(md5({g}), 1, 1)) - 1) * 268435456
++ (strpos('0123456789abcdef', substr(md5({g}), 2, 1)) - 1) * 16777216
++ (strpos('0123456789abcdef', substr(md5({g}), 3, 1)) - 1) * 1048576
++ (strpos('0123456789abcdef', substr(md5({g}), 4, 1)) - 1) * 65536
++ (strpos('0123456789abcdef', substr(md5({g}), 5, 1)) - 1) * 4096
++ (strpos('0123456789abcdef', substr(md5({g}), 6, 1)) - 1) * 256
++ (strpos('0123456789abcdef', substr(md5({g}), 7, 1)) - 1) * 16
++ (strpos('0123456789abcdef', substr(md5({g}), 8, 1)) - 1))"""
+
+
+@query("q_weighted_sample", oracle=rf"""
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         -- Efraimidis–Spirakis key: rank by ln(u)/w (monotone in
+         -- u^(1/w)); u = (h32 + 0.5) / 2^32 ∈ (0,1) from the doc-id
+         -- md5, so the draw is deterministic and engine-portable
+         CAST(floor(
+           ln(({_HEX8.format(g="CAST(doc_id AS VARCHAR)")} + 0.5)
+              / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5
+         ) AS BIGINT) AS key_nano
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, weight, key_nano
+FROM keyed
+ORDER BY key_nano DESC, doc_id
+LIMIT {_WS_K}
+""")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    each row draws key = u^(1/w) (ranked as ln(u)/w, monotone) with a
+    DETERMINISTIC uniform u derived from md5(doc_id); the global top-K
+    keys are the sample. Inclusion probability ∝ weight (n_chars here —
+    length-proportional sampling, the doc-level form of token-budget
+    mixture draws). The fixed-K *per-group* twin is
+    ``q_reservoir_sample`` (uniform); this one is global and weighted.
+
+    Scale shape: key assignment is map-only (md5 + one ln per row, all
+    JVM codegen); the top-K is TakeOrderedAndProject — bounded
+    per-partition heaps, no global sort, no shuffle of non-survivors.
+    Exactness: u is an exact dyadic rational (h32+0.5)/2^32 identical
+    in both engines; keys are quantized to integer nano-units for the
+    output; a cross-engine ulp flip in ``ln`` could in principle reorder
+    two keys, but distinct docs' keys differ by ≫1e-9 at any realistic
+    corpus size (ties would need identical (md5, weight) pairs)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.floor(
+                F.log(u) / F.col("n_chars").cast("double")
+                * 1000000000.0 + F.lit(0.5)
+            ).cast("bigint").alias("key_nano"),
+        )
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space drift monitoring
+# --------------------------------------------------------------------------
+
+@query("q_embedding_drift", oracle="""
+WITH pos AS (
+  SELECT label, vec_id % 2 AS snap, i AS pos,
+         CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS qv
+  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+),
+cent AS (
+  SELECT label, snap, pos,
+         CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS c_milli,
+         count(*) AS n
+  FROM pos GROUP BY label, snap, pos
+),
+paired AS (
+  SELECT a.label, a.pos,
+         abs(a.c_milli - b.c_milli) AS d_milli,
+         a.n AS n_a, b.n AS n_b
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos
+   AND a.snap = 0 AND b.snap = 1
+)
+SELECT label,
+       CAST(max(n_a) AS BIGINT)      AS n_a,
+       CAST(max(n_b) AS BIGINT)      AS n_b,
+       CAST(sum(d_milli) AS BIGINT)  AS l1_drift_milli,
+       CAST(max(d_milli) AS BIGINT)  AS max_dim_drift_milli
+FROM paired
+GROUP BY label
+""")
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into two
+    interleaved snapshots (vec_id parity — stands in for two ingest
+    epochs), compute each label's per-dimension centroid in QUANTIZED
+    integer thousandths (order-free BIGINT sums — the q_doc_outliers
+    centroid discipline), and report the per-label L1 centroid shift
+    and worst single dimension. This is the encoder-rot / distribution-
+    shift check a production embedding store runs between index builds
+    (re-embed triggers, A/B encoder validation).
+
+    Scale shape: posexplode(dim) → partial-aggregated (label, snap, dim)
+    sums (output is |labels|·2·64 rows regardless of corpus size — the
+    map-side combine absorbs the 64× row explosion); the snapshot
+    pairing joins two tiny centroid tables; everything downstream of
+    the first agg is metadata-sized. No window, no full-vector
+    shuffles beyond the initial scan."""
+    pos = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            (F.col("vec_id") % 2).alias("snap"),
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        )
+        .select(
+            "label", "snap", "pos",
+            F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+            .cast("bigint").alias("qv"),
+        )
+    )
+    cent = (
+        pos.groupBy("label", "snap", "pos")
+        .agg(
+            F.floor(
+                F.sum("qv").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("bigint").alias("c_milli"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = cent.filter(F.col("snap") == 0).select(
+        "label", "pos",
+        F.col("c_milli").alias("ca"), F.col("n").alias("n_a"),
+    )
+    b = cent.filter(F.col("snap") == 1).select(
+        "label", "pos",
+        F.col("c_milli").alias("cb"), F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, ["label", "pos"])
+        .select(
+            "label", "n_a", "n_b",
+            F.abs(F.col("ca") - F.col("cb")).alias("d_milli"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum("d_milli").cast("bigint").alias("l1_drift_milli"),
+            F.max("d_milli").cast("bigint").alias("max_dim_drift_milli"),
+        )
     )

@@ -511,3 +511,32 @@ def test_drift_diff_aggregates_before_outer_join(spark, sf_dir):
     assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final on each side
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_stats_broadcast_and_topk(spark, sf_dir):
+    """BM25: query-term stats and avgdl are broadcasts; the ranking is a
+    bounded TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "q_bm25_rank", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_map_plus_topk(spark, sf_dir):
+    """Efraimidis–Spirakis sampling: key assignment is map-only; the
+    only data movement is the top-K gather — no shuffle exchange."""
+    plan = plan_of(spark, "q_weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_drift_partial_aggregates_explosion(spark, sf_dir):
+    """Drift monitor: the 64× posexplode must be absorbed by partial
+    hash aggregation before any exchange; no window anywhere."""
+    plan = plan_of(spark, "q_embedding_drift", sf_dir)
+    assert "Generate" in plan  # posexplode
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan

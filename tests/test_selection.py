@@ -175,3 +175,67 @@ def test_dsir_enriches_target_language(spark):
     assert en / len(out) > n_en / n_docs, "top-K must beat the base rate"
     scores = [r.dsir_micro for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# Wave 7: BM25, weighted sampling, embedding drift
+# --------------------------------------------------------------------------
+
+def test_weighted_sample_matches_python_mirror(spark):
+    """The Efraimidis–Spirakis draw is fully deterministic (md5-derived
+    uniforms), so an exact Python mirror must produce the same top-K."""
+    import hashlib
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars").collect()
+    keys = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h32 = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (h32 + 0.5) / 4294967296.0
+        key = math.floor(math.log(u) / float(r.n_chars) * 1e9 + 0.5)
+        keys.append((key, r.doc_id))
+    keys.sort(key=lambda t: (-t[0], t[1]))
+    want = [(d, k) for k, d in keys[: S._WS_K]]
+    got = [
+        (r.doc_id, r.key_nano) for r in S.q_weighted_sample(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Length-proportional sampling: the sample's mean weight must
+    exceed the corpus mean weight (inclusion probability ∝ weight)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample = S.q_weighted_sample(spark, SF).collect()
+    sample_mean = sum(r.weight for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
+
+
+def test_bm25_output_shape_and_terms(spark):
+    out = S.q_bm25_rank(spark, SF).collect()
+    assert 0 < len(out) <= S._BM25_TOPK
+    scores = [r.bm25_micro for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert 1 <= r.n_terms <= S._BM25_NTERMS
+        assert r.bm25_micro > 0  # idf of mid-frequency terms is positive
+
+
+def test_embedding_drift_counts_and_bounds(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    label_counts = {
+        (r.label, r.snap): r.n
+        for r in emb.groupBy(
+            "label", (F.col("vec_id") % 2).alias("snap")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = S.q_embedding_drift(spark, SF).collect()
+    assert {r.label for r in out} == {l for l, _ in label_counts}
+    for r in out:
+        assert r.n_a == label_counts[(r.label, 0)]
+        assert r.n_b == label_counts[(r.label, 1)]
+        assert 0 <= r.max_dim_drift_milli <= r.l1_drift_milli

@@ -17,6 +17,20 @@ REGRESSION_FACTOR = 1.5
 #: scale, page-cache and JIT variance dominate any plan change
 NOISE_FLOOR_SEC = 0.75
 
+#: DOCUMENTED correctness-over-speed trades: a slowdown here is the
+#: accepted, root-caused price of an exactness guarantee (with the doc
+#: that explains it), not an accidental plan regression. Printed and
+#: exit-0; anything NOT in this dict still fails the gate. Remove an
+#: entry if its query is later re-optimized below the factor.
+EXPLAINED_REGRESSIONS = {
+    # r3 commit d766d77: price sums accumulate in DECIMAL(25,6) so
+    # results are engine-exact and run-order-free; a 100 TB Q1 group
+    # sums ~2.3e22 scale-6 quanta (past int64), so the wide decimal is
+    # the honest accumulator. ~2-4x on the purest multi-agg shapes.
+    "q_groupby_agg": "DECIMAL(25,6) exact accumulation (SCALING.md)",
+    "q_sql_tpch_q1": "DECIMAL(25,6) exact accumulation (SCALING.md)",
+}
+
 
 def read_bench(path: str) -> dict[str, float]:
     """Accept either raw `python bench.py` output (one JSON line, possibly
@@ -83,8 +97,11 @@ def main() -> None:
         o, n = old[name], new[name]
         mark = ""
         if n > o * REGRESSION_FACTOR and n - o > NOISE_FLOOR_SEC:
-            mark = "  <-- REGRESSED"
-            regressed.append(name)
+            if name in EXPLAINED_REGRESSIONS:
+                mark = f"  <-- documented trade: {EXPLAINED_REGRESSIONS[name]}"
+            else:
+                mark = "  <-- REGRESSED"
+                regressed.append(name)
         print(f"{name:28s} {o:8.3f} -> {n:8.3f}  ({n / max(o, 1e-9):4.2f}x){mark}")
     only_new = sorted(set(new) - set(old))
     if only_new:
