@@ -739,8 +739,10 @@ def q_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-sized hash-agg (map-side combine) down to
     |sources| rows; the total and the leftover are one-row broadcasts;
-    the remainder ranking is a single window over |sources| rows —
-    trivially small by construction (sources ≪ corpus). The corpus
+    the remainder ranking folds the |sources|-sized table into ONE
+    sorted array-of-structs row and posexplodes it back with positions
+    (the global_rank fold discipline) — no WindowExec anywhere, so no
+    single-partition window shape even on the tiny table. The corpus
     never shuffles: only its per-source partial counts do."""
     T = _BUDGET_T
     tok = (
@@ -761,14 +763,37 @@ def q_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(T).cast("long") * F.col("src_tokens") % F.col("w")).alias("rem"),
     )
     lo = base.agg((F.lit(T) - F.sum("base_alloc")).cast("long").alias("leftover"))
-    wr = Window.orderBy(F.col("rem").desc(), "source")
-    extra = (F.row_number().over(wr) <= F.col("leftover")).cast("long")
-    return base.crossJoin(F.broadcast(lo)).select(
-        "source",
-        "src_tokens",
-        "base_alloc",
-        extra.alias("extra"),
-        (F.col("base_alloc") + extra).alias("alloc"),
+    # remainder rank WITHOUT a window: fold the |sources|-sized table into
+    # one sorted array-of-structs row (the global_rank/grouped_rank fold
+    # discipline) and posexplode back with its 1-based position. A global
+    # Window here — even over a provably tiny input — plans the
+    # 'WindowExec: No Partition Defined' single-partition shape, and the
+    # optimizer folds any constant partition key right back out; the
+    # collect-fold is explicitly bounded by |sources| instead.
+    rank = (
+        base.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("rem")).alias("nrem"),
+                             F.col("source").alias("source"))
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(F.col("s.source").alias("source"),
+                (F.col("pos") + 1).cast("long").alias("rnk"))
+    )
+    extra = (F.col("rnk") <= F.col("leftover")).cast("long")
+    return (
+        base.join(F.broadcast(rank), "source")
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "src_tokens",
+            "base_alloc",
+            extra.alias("extra"),
+            (F.col("base_alloc") + extra).alias("alloc"),
+        )
     )
 
 

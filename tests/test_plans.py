@@ -540,3 +540,15 @@ def test_embedding_drift_partial_aggregates_explosion(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "windowspecdefinition" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_budget_allocate_has_no_window(spark, sf_dir):
+    """Hamilton apportionment: the remainder rank must be the
+    collect-fold + posexplode (bounded by |sources|), never a global
+    WindowExec — even a tiny-input unpartitioned window plans the
+    single-partition shape (and the optimizer folds constant partition
+    keys back out)."""
+    plan = plan_of(spark, "q_budget_allocate", sf_dir)
+    assert "windowspecdefinition" not in plan
+    assert "sort_array" in plan and "posexplode" in plan
+    assert "BatchEvalPython" not in plan
