@@ -110,6 +110,10 @@ HEADLINE = (
     "q_bm25_rank",
     "q_weighted_sample",
     "q_embedding_drift",
+    # round-3 wave 8: iterative graph analytics + shuffle diagnostics
+    "q_pagerank",
+    "q_transition_matrix",
+    "q_skew_profile",
 )
 
 

@@ -1,0 +1,129 @@
+"""Round-3 wave-8: engine/shuffle diagnostics.
+
+``q_skew_profile`` — shuffle-key skew profile of the corpus token
+distribution: the pre-flight answer to "is this key safe to shuffle
+on?" that a 100 TB plan review asks before every groupBy/join. Reports
+key cardinality, hottest-key mass, max/mean skew factor, singleton
+tail, and Shannon entropy — the numbers that decide between a plain
+hash shuffle, AQE skew-join, or salting (the registered
+``q_salted_agg`` is the mitigation this profile triggers).
+
+Engine exactness: everything integer (ppm ratios, micro-nat entropy).
+Entropy is computed on the COUNT-OF-COUNTS table (|distinct count
+values| rows — tiny even when the key table is huge): every key with
+the same count contributes the same term, so quantization happens per
+distinct-count row and the sum is an order-free BIGINT add (the
+q_lm_score discipline).
+
+The reference profiles columns only via describe/distinct
+(``Data_transform.py:128-141``); skew diagnostics are a north-star
+scale extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+@query("q_skew_profile", oracle=r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+keys AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+),
+cof AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS freq FROM keys GROUP BY c
+),
+tot AS (
+  SELECT CAST(sum(c * freq) AS BIGINT) AS total,
+         CAST(sum(freq) AS BIGINT)     AS n_keys,
+         CAST(max(c) AS BIGINT)        AS max_cnt
+  FROM cof
+)
+SELECT tot.n_keys,
+       tot.total                                    AS total_rows,
+       tot.max_cnt,
+       CAST(COALESCE((SELECT freq FROM cof WHERE c = 1), 0) AS BIGINT)
+         AS singleton_keys,
+       CAST(floor(tot.max_cnt * 1000000.0 * tot.n_keys / tot.total + 0.5)
+            AS BIGINT)                              AS skew_ppm,
+       CAST(floor(tot.max_cnt * 1000000.0 / tot.total + 0.5) AS BIGINT)
+         AS top_share_ppm,
+       (SELECT CAST(sum(CAST(floor(
+           (cof.freq * cof.c * 1000000.0 / tot.total)
+           * (-ln(cof.c * 1.0 / tot.total)) + 0.5) AS BIGINT)) AS BIGINT)
+        FROM cof)                                   AS entropy_micro_nats
+FROM tot
+""")
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile of the token distribution (Zipfian — the
+    worst realistic shuffle key): key cardinality, total occurrences,
+    hottest key's count and corpus share (ppm), max/mean skew factor
+    (ppm — 1e6 = perfectly uniform), singleton-key tail, and Shannon
+    entropy in integer micro-nats. skew_ppm ≫ 1e6 says a plain hash
+    shuffle on this key stragglers; the mitigations are the registered
+    ``q_salted_agg`` two-phase shape or AQE skew-join (on in
+    session.py).
+
+    Scale shape: one explode → map-side-combined key count (the
+    q_vocab_build pass), immediately re-aggregated into the COUNT-OF-
+    COUNTS table — |distinct count values| rows (≈ hundreds even for
+    billion-key tables, Zipf guarantees collisions) — from which every
+    statistic derives: the heavy key-sized table reduces before any
+    further math, and the entropy sum quantizes per distinct-count row
+    (order-free BIGINT adds). The singleton lookup and entropy are
+    sub-aggregates of the same tiny table."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+    )
+    keys = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cof = keys.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    tot = cof.agg(
+        F.sum(F.col("c") * F.col("freq")).cast("bigint").alias("total"),
+        F.sum("freq").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_cnt"),
+    )
+    singles = cof.filter(F.col("c") == 1).agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).cast("bigint")
+        .alias("singleton_keys")
+    )
+    entropy = (
+        cof.crossJoin(F.broadcast(tot.select("total")))
+        .select(
+            F.floor(
+                (F.col("freq") * F.col("c") * 1000000.0 / F.col("total"))
+                * (-F.log(F.col("c") * F.lit(1.0) / F.col("total")))
+                + F.lit(0.5)
+            ).cast("bigint").alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("entropy_micro_nats"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(singles))
+        .crossJoin(F.broadcast(entropy))
+        .select(
+            "n_keys",
+            F.col("total").alias("total_rows"),
+            "max_cnt",
+            "singleton_keys",
+            F.floor(
+                F.col("max_cnt") * 1000000.0 * F.col("n_keys")
+                / F.col("total") + F.lit(0.5)
+            ).cast("bigint").alias("skew_ppm"),
+            F.floor(
+                F.col("max_cnt") * 1000000.0 / F.col("total") + F.lit(0.5)
+            ).cast("bigint").alias("top_share_ppm"),
+            "entropy_micro_nats",
+        )
+    )

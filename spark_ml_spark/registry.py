@@ -32,6 +32,8 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.streaming.stream_queries",
     "spark_ml_spark.operators.curation",
     "spark_ml_spark.operators.selection",
+    "spark_ml_spark.operators.graph",
+    "spark_ml_spark.operators.diagnostics",
 )
 
 

@@ -552,3 +552,26 @@ def test_budget_allocate_has_no_window(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "sort_array" in plan and "posexplode" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark, sf_dir):
+    """PageRank: edge extraction is a per-user window + partial agg;
+    every iteration joins edges⋈ranks on the src equi-key — no
+    cartesian over data-sized inputs, no Python."""
+    plan = plan_of(spark, "q_pagerank", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+    # the per-user lead() window is partitioned (never global)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+def test_skew_profile_reduces_before_stats(spark, sf_dir):
+    """Skew profile: all statistics must derive from the count-of-counts
+    table (key-sized data reduces immediately); no window, no Python."""
+    plan = plan_of(spark, "q_skew_profile", sf_dir)
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 6  # keys, cof, tot/singles/entropy
