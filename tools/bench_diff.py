@@ -29,6 +29,10 @@ EXPLAINED_REGRESSIONS = {
     # the honest accumulator. ~2-4x on the purest multi-agg shapes.
     "q_groupby_agg": "DECIMAL(25,6) exact accumulation (SCALING.md)",
     "q_sql_tpch_q1": "DECIMAL(25,6) exact accumulation (SCALING.md)",
+    # same d766d77 trade: the star join's revenue column moved to
+    # exact_sum (DECIMAL(25,6)); the join plan itself is unchanged
+    # (broadcast dims + one lineitem⋈orders shuffle, PLANS.md)
+    "q_star_join": "DECIMAL(25,6) exact accumulation (SCALING.md)",
 }
 
 
