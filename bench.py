@@ -114,6 +114,12 @@ HEADLINE = (
     "q_pagerank",
     "q_transition_matrix",
     "q_skew_profile",
+    # round-3 wave 9: mergeable sketches, join pre-flight, anomaly/PMI
+    "q_kmv_distinct",
+    "q_countmin_heavy",
+    "q_join_size_estimate",
+    "q_anomaly_detect",
+    "q_event_pmi",
 )
 
 

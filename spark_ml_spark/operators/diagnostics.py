@@ -22,7 +22,7 @@ scale extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_ml_spark.io.sources import load
@@ -126,4 +126,96 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("top_share_ppm"),
             "entropy_micro_nats",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling anomaly detection (wave-9)
+# --------------------------------------------------------------------------
+
+
+@query("q_anomaly_detect", oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day_idx, cnt,
+         CAST(count(*) OVER tw AS BIGINT)        AS w_n,
+         CAST(sum(cnt) OVER tw AS BIGINT)        AS w_sum,
+         CAST(sum(cnt * cnt) OVER tw AS BIGINT)  AS w_sumsq
+  FROM daily
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day_idx
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day_idx, cnt, w_n, w_sum, w_sumsq,
+       CAST(CASE WHEN w_n * w_sumsq > w_sum * w_sum
+                  AND (w_n * cnt - w_sum) * (w_n * cnt - w_sum)
+                      > 4 * (w_n * w_sumsq - w_sum * w_sum)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM w
+""")
+def q_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag on per-type daily event volumes —
+    the monitoring primitive behind "did this source's traffic spike?"
+    data-quality alerts. Each (type, day) count is tested against its
+    trailing 7-day window's mean/std; the |z| > 2 test is evaluated as
+    the cross-multiplied INTEGER inequality
+    (n·c − S)² > 4·(n·Q − S²)  [S=Σcnt, Q=Σcnt² over the window]
+    which is algebraically z² > 4 with zero divisions, square roots, or
+    floats — every cell BIGINT, hash-exact by construction. A
+    zero-variance window (n·Q = S²) can never flag, because the current
+    day is inside its own trailing window.
+
+    Scale shape: one map-side-combined (type, day) count aggregation
+    collapses the raw stream to |types|·|days| rows BEFORE the window;
+    the trailing frame is a RANGE frame over the integer day index
+    (gap-robust: missing days widen the calendar span, not the frame
+    arithmetic), partitioned by type — no global window, no second
+    shuffle beyond the window's own partition-by exchange. The batch
+    twin of the streaming watermark aggregations in
+    streaming/stream_queries.py, and the statistical sibling of
+    ``q_skew_profile`` (which profiles keys; this profiles time)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("w_n"),
+        F.sum("cnt").over(tw).cast("bigint").alias("w_sum"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(tw).cast("bigint")
+        .alias("w_sumsq"),
+    )
+    z2 = (F.col("w_n") * F.col("cnt") - F.col("w_sum")) * (
+        F.col("w_n") * F.col("cnt") - F.col("w_sum")
+    )
+    var_n2 = F.col("w_n") * F.col("w_sumsq") - F.col("w_sum") * F.col("w_sum")
+    return w.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        "w_n",
+        "w_sum",
+        "w_sumsq",
+        F.when((var_n2 > 0) & (z2 > 4 * var_n2), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_anomaly"),
     )

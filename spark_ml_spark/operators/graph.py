@@ -199,3 +199,99 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("p_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence / pointwise mutual information (wave-9)
+# --------------------------------------------------------------------------
+
+
+@query("q_event_pmi", oracle=r"""
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+bk AS (SELECT DISTINCT user_id, day FROM b),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM bk),
+ct AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM b GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM b a
+  JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+          AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ca.n_t AS n_a, cb.n_t AS n_b, p.n_co,
+       CAST(floor(ln((n.n_baskets * p.n_co) * 1.0 / (ca.n_t * cb.n_t))
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro_nats
+FROM pairs p
+JOIN ct ca ON ca.event_type = p.type_a
+JOIN ct cb ON cb.event_type = p.type_b, n
+""")
+def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with pointwise mutual information:
+    baskets are (user, day) activity sets; for every unordered pair of
+    event types report basket-support counts and
+    PMI = ln(N·c_ab / (c_a·c_b)) in integer micro-nats (negative =
+    anti-correlated). The association-mining primitive behind "users who
+    X also Y" and feature co-occurrence pruning (Church & Hanks 1990).
+
+    Scale shape: the basket table dedups through one map-side-combined
+    shuffle; the pair stage is a SELF-JOIN ON THE BASKET KEY, so its
+    fan-out per basket is bounded by the type vocabulary (≤ |V|²/2
+    pairs per basket, |V|=5 here) — bounded-blow-up by construction,
+    the same discipline as the LSH bucket joins, and exactly what
+    ``q_join_size_estimate`` pre-flights. Pair counts reduce map-side;
+    the singles table and N broadcast onto the (≤ |V|²/2-row) pair
+    table. The only float is the final ln() on a ratio of exact BIGINTs
+    — one quantized evaluation per OUTPUT row, never accumulated (the
+    q_skew_profile entropy discipline)."""
+    b = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+    )
+    n = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    ct = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.day") == F.col("c.day"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    ca = ct.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    cb = ct.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_co",
+            F.floor(
+                F.log(
+                    (F.col("n_baskets") * F.col("n_co")) * F.lit(1.0)
+                    / (F.col("n_a") * F.col("n_b"))
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint").alias("pmi_micro_nats"),
+        )
+    )

@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.selection",
     "spark_ml_spark.operators.graph",
     "spark_ml_spark.operators.diagnostics",
+    "spark_ml_spark.operators.sketches",
 )
 
 
@@ -58,7 +59,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (q_sql_tpch_q12 — oracle HUGEINT cast; q_media_frames — scalar frame
 #: features; q_semantic_dedup — ids-only pair join + corpus-scaled
 #: n_cells), then 9 cross-family anchors for round-over-round continuity.
-#: After r3 every registered query has at least one driver row.
+#: After r3 every query registered at window-curation time has at least
+#: one driver row; ops added later in r3 (waves 6-9: selection, graph,
+#: diagnostics, sketches) sit immediately after the window in
+#: registration order and are the r4 rotation's front of queue.
 _GRADED_WINDOW = (
     # --- never graded in r1∪r2: TPC-H tail ---
     "q_sql_tpch_q2",

@@ -575,3 +575,52 @@ def test_skew_profile_reduces_before_stats(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 6  # keys, cof, tot/singles/entropy
+
+
+def test_kmv_bottom_k_uses_window_group_limit(spark, sf_dir):
+    """KMV sketch: the per-group bottom-K must compile to
+    WindowGroupLimit (map-side partial bottom-K = the sketch's mergeable
+    partial state); hashing/distinct stay JVM-side."""
+    plan = plan_of(spark, "q_kmv_distinct", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_sketch_is_bounded_and_broadcast(spark, sf_dir):
+    """Count-min: the probe joins the (≤ d·w-row) sketch via broadcast
+    only; the single window-free plan is scan → count-agg → cell-agg."""
+    plan = plan_of(spark, "q_countmin_heavy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_join_size_estimate_never_joins(spark, sf_dir):
+    """The join-size pre-flight must contain NO join operator at all —
+    its whole point is predicting a join without running one."""
+    plan = plan_of(spark, "q_join_size_estimate", sf_dir)
+    for op in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert op not in plan, op
+
+
+def test_anomaly_window_is_partitioned_range_frame(spark, sf_dir):
+    """Anomaly detection: the trailing frame is a RANGE frame
+    partitioned by type over the pre-aggregated daily table — never a
+    global window."""
+    plan = plan_of(spark, "q_anomaly_detect", sf_dir)
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type" in line, line
+            assert "RangeFrame" in line, line
+
+
+def test_event_pmi_joins_on_basket_key(spark, sf_dir):
+    """PMI: the pair stage must be an equi-join on the (user, day)
+    basket key (bounded fan-out), with singles/N broadcast onto the
+    pair table."""
+    plan = plan_of(spark, "q_event_pmi", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
