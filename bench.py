@@ -120,6 +120,12 @@ HEADLINE = (
     "q_join_size_estimate",
     "q_anomaly_detect",
     "q_event_pmi",
+    # round-3 wave 10: portable HLL, histogram quantiles, incremental
+    # snapshot dedup, last-touch attribution
+    "q_hll_distinct",
+    "q_quantile_sketch",
+    "q_snapshot_dedup",
+    "q_attribution",
 )
 
 

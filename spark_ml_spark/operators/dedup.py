@@ -715,3 +715,89 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (snapshot-over-snapshot) dedup — wave-9
+# --------------------------------------------------------------------------
+
+
+@query("q_snapshot_dedup", oracle="""
+WITH idx AS (
+  SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 10 < 6
+),
+inc AS (
+  SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 >= 4
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 10 = 8
+),
+firsts AS (
+  SELECT dg, min(doc_id) AS first_id FROM inc GROUP BY dg
+)
+SELECT i.doc_id,
+       CAST(CASE WHEN x.dg IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS dup_of_index,
+       CAST(CASE WHEN i.doc_id <> f.first_id THEN 1 ELSE 0 END AS BIGINT)
+         AS dup_in_batch,
+       CAST(CASE WHEN x.dg IS NULL AND i.doc_id = f.first_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM inc i
+LEFT JOIN idx x ON x.dg = i.dg
+JOIN firsts f ON f.dg = i.dg
+""")
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming snapshot against an existing
+    corpus index — the shape of every recurring crawl ingest
+    (CommonCrawl dump N+1 against dumps 1..N). The two snapshots are
+    carved from the fixture the way real recrawls overlap: the index
+    holds doc_id%10 ∈ [0,6), the incoming batch doc_id%10 ∈ [4,10)
+    (a 20% re-crawl overlap → ``dup_of_index``), and pages with
+    doc_id%10 = 8 arrive twice under a new fetch id (re-fetch →
+    ``dup_in_batch``, first-id-wins). ``kept`` marks what actually
+    appends to the index after both gates.
+
+    Scale shape: both sides reduce to 16-byte digests map-side (text
+    never shuffles — the ``q_exact_dedup`` discipline); the index probe
+    is a digest equi-join and the within-batch arbitration a digest
+    group-by, so the exchanges carry |batch| digest rows against the
+    index's digest table, which at 100 TB is a persisted,
+    digest-bucketed table appended once per ingest (join co-located,
+    no index rescan). When |batch| ≪ |index|, the registered
+    ``q_bloom_decontaminate`` prefilter drops non-members before this
+    exact probe. The one-shot twin is ``q_exact_dedup``
+    (``Data_transform.py`` has no incremental surface — its pipeline
+    recomputes from scratch)."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    idx = (
+        docs.filter(m < 6)
+        .select(F.md5("text").alias("dg"))
+        .distinct()
+        .withColumn("in_idx", F.lit(1))
+    )
+    inc = (
+        docs.filter(m >= 4)
+        .select("doc_id", F.md5("text").alias("dg"))
+        .unionAll(
+            docs.filter(m == 8).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("dg"),
+            )
+        )
+    )
+    firsts = inc.groupBy("dg").agg(F.min("doc_id").alias("first_id"))
+    return (
+        inc.join(idx, "dg", "left")
+        .join(firsts, "dg")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_idx"), F.lit(0)).cast("bigint")
+            .alias("dup_of_index"),
+            (F.col("doc_id") != F.col("first_id")).cast("bigint")
+            .alias("dup_in_batch"),
+            (
+                F.col("in_idx").isNull()
+                & (F.col("doc_id") == F.col("first_id"))
+            ).cast("bigint").alias("kept"),
+        )
+    )

@@ -1621,3 +1621,68 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hr_value", ignorenulls=True).over(w).alias("carried_value"),
         )
     )
+
+
+@query("q_attribution", oracle="""
+WITH touched AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events
+),
+attrib AS (
+  SELECT COALESCE(touch, 'direct') AS touch_type,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM touched WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS t FROM attrib)
+SELECT a.touch_type, a.n_purchases,
+       CAST((a.n_purchases * 1000000 + tot.t // 2) // tot.t AS BIGINT)
+         AS share_ppm
+FROM attrib a, tot
+""")
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING non-purchase event (or 'direct' when the
+    purchase is the user's first event) — the conversion-credit query
+    behind every marketing/growth funnel report, and the third member
+    of the event-analytics family (``q_funnel`` orders steps,
+    ``q_retention_cohorts`` buckets lifetimes, this assigns credit).
+
+    Scale shape: one per-user window (partitioned — never global) over
+    (ts, event_id) computes the running last-non-purchase touch via
+    ``last(..., ignorenulls)`` with an UNBOUNDED..1-PRECEDING frame, a
+    single O(n) pass per partition; purchases then reduce through a
+    map-side-combined count on the (≤ |event types|+1)-row touch key,
+    and the share divisor broadcasts back. Total order (ts, event_id)
+    makes the credit deterministic under timestamp ties, so the shares
+    are integer-ppm hash-exact cross-engine."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("touch"),
+    )
+    attrib = (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+    tot = attrib.agg(F.sum("n_purchases").cast("bigint").alias("t"))
+    return attrib.crossJoin(F.broadcast(tot)).select(
+        "touch_type",
+        "n_purchases",
+        F.expr(
+            "CAST((n_purchases * 1000000 + t DIV 2) DIV t AS BIGINT)"
+        ).alias("share_ppm"),
+    )

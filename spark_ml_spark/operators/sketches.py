@@ -376,3 +376,326 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expansion_x"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (engine-portable registers)
+# --------------------------------------------------------------------------
+
+_HLL_M = 256          # registers = 2 hex chars of bucket address
+_HLL_VBITS = 40       # rank bits = 10 hex chars
+_HLL_ALPHA_PPM = 718273  # round(1e6 * 0.7213 / (1 + 1.079/256))
+#: harmonic terms live in units of 2^-VBITS-1: register r contributes
+#: 2^(VBITS+1-r); an EMPTY register (r=0) contributes 2^(VBITS+1)
+_HLL_UNIT = 1 << (_HLL_VBITS + 1)
+_HLL_M2U = _HLL_M * _HLL_M * _HLL_UNIT  # m^2 in harmonic units, < 2^57
+
+
+def _hll_rho_sql(vh: str) -> str:
+    """DuckDB/Spark-portable rank (leading-zero-run + 1) of the 40-bit
+    value encoded by the 10-hex-char string ``vh`` — computed on the HEX
+    STRING (zero-run length + a 4-way nibble CASE), never via float
+    log2, whose half-ulp behavior at 2^k boundaries is libm-specific."""
+    rem = f"length(regexp_replace({vh}, '^0*', ''))"
+    first = f"substr({vh}, {10 + 1} - {rem}, 1)"
+    return f"""(CASE WHEN {rem} = 0 THEN {_HLL_VBITS + 1}
+      ELSE (10 - {rem}) * 4
+           + (CASE WHEN {first} IN ('8','9','a','b','c','d','e','f') THEN 0
+                   WHEN {first} IN ('4','5','6','7') THEN 1
+                   WHEN {first} IN ('2','3') THEN 2
+                   ELSE 3 END) + 1 END)"""
+
+
+def _hll_oracle() -> str:
+    rho = _hll_rho_sql("substr(h, 3, 10)")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         md5('hll1:' || CAST(user_id AS VARCHAR) || ':'
+             || CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type,
+         {_hex_int_sql('h', 1, 2)} AS bucket,
+         CAST(max({rho}) AS BIGINT) AS r
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - r)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * {_HLL_UNIT} AS harm
+  FROM reg GROUP BY 1
+),
+ex AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM d GROUP BY 1
+),
+raw AS (
+  SELECT ex.event_type, ex.n_exact, s.n_buckets,
+         {_HLL_M} - s.n_buckets AS v_empty,
+         (({_HLL_M2U} + s.harm // 2) // s.harm * {_HLL_ALPHA_PPM} + 500000)
+           // 1000000 AS est_raw
+  FROM ex JOIN s ON s.event_type = ex.event_type
+),
+corr AS (
+  SELECT event_type, n_exact, n_buckets, v_empty,
+         CAST(CASE WHEN est_raw <= {(5 * _HLL_M) // 2} AND v_empty > 0
+              THEN floor({_HLL_M} * ln({_HLL_M} * 1.0 / v_empty) + 0.5)
+              ELSE est_raw END AS BIGINT) AS est_distinct
+  FROM raw
+)
+SELECT event_type, n_exact, n_buckets, v_empty, est_distinct,
+       CAST((abs(est_distinct - n_exact) * 1000000 + n_exact // 2)
+            // n_exact AS BIGINT) AS err_ppm
+FROM corr
+"""
+
+
+@query("q_hll_distinct", oracle=_hll_oracle())
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (Flajolet et al. 2007) over the same
+    (user, day) entity pool as ``q_kmv_distinct`` — the two canonical
+    distinct sketches side by side, hash-checked down to their errors.
+    m=256 registers addressed by 2 hex chars of md5; each register keeps
+    max(leading-zero-run + 1) of the next 40 bits; the harmonic mean
+    runs in EXACT integer units of 2^-41 (register r contributes
+    2^(41-r), empty registers 2^41 — all BIGINT adds), the bias
+    constant α₂₅₆ is a ppm literal, and the small-range regime applies
+    Flajolet's linear-counting correction m·ln(m/V) (one quantized ln
+    per OUTPUT row). The rank is derived from the digest's hex STRING
+    (zero-run length + nibble CASE) — never float log2, whose rounding
+    at 2^k boundaries is libm-specific and would break cross-engine
+    hashing.
+
+    Scale shape: registers build as a (type, bucket) MAX aggregation —
+    map-side partials ARE the per-partition HLL registers and the merge
+    is register-wise MAX, exactly the mergeable-sketch dataflow, with a
+    hard ≤ m-row output per group no matter the corpus (vs KMV's K
+    rows: HLL trades a biased-but-tighter constant-memory register file
+    for KMV's unbiased order statistics). n_exact exists for error
+    accounting at test scale; production drops that branch. Spark's own
+    approx_count_distinct is this same sketch with engine-private
+    registers (its twin ``q_approx_count_distinct`` is rows-only);
+    THIS one is register-for-register reproducible in any md5-capable
+    engine."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("hll1"),
+                    F.col("user_id").cast("string"),
+                    F.to_date("ts").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    rho = F.expr(_hll_rho_sql("substr(h, 3, 10)"))
+    reg = d.groupBy(
+        "event_type",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+    ).agg(F.max(rho).cast("bigint").alias("r"))
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (
+            F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - r)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_UNIT)
+        ).cast("bigint").alias("harm"),
+    )
+    ex = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    raw = (
+        ex.join(s, "event_type")
+        .withColumn("v_empty", F.lit(_HLL_M) - F.col("n_buckets"))
+        .withColumn(
+            "est_raw",
+            F.expr(
+                f"(({_HLL_M2U} + harm DIV 2) DIV harm * {_HLL_ALPHA_PPM}"
+                f" + 500000) DIV 1000000"
+            ),
+        )
+    )
+    corr = raw.withColumn(
+        "est_distinct",
+        F.expr(
+            f"CAST(CASE WHEN est_raw <= {(5 * _HLL_M) // 2} AND v_empty > 0 "
+            f"THEN floor({_HLL_M} * ln({_HLL_M} * 1.0 / v_empty) + 0.5) "
+            f"ELSE est_raw END AS BIGINT)"
+        ),
+    )
+    return corr.select(
+        "event_type",
+        "n_exact",
+        "n_buckets",
+        "v_empty",
+        "est_distinct",
+        F.expr(
+            "CAST((abs(est_distinct - n_exact) * 1000000 + n_exact DIV 2)"
+            " DIV n_exact AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles
+# --------------------------------------------------------------------------
+
+_QS_BINS = 64
+
+
+def _qs_oracle() -> str:
+    b = _QS_BINS
+    return f"""
+WITH stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(n_chars) AS BIGINT) AS mn,
+         CAST(max(n_chars) AS BIGINT) AS mx
+  FROM documents GROUP BY lang
+),
+binned AS (
+  SELECT d.lang,
+         CAST((d.n_chars - s.mn) * {b} // (s.mx - s.mn + 1) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN stats s ON s.lang = d.lang
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, bin, c,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cw
+  FROM binned
+),
+ranks AS (
+  SELECT lang, n, mn, mx,
+         (n + 1) // 2          AS r50,
+         (95 * n + 99) // 100  AS r95
+  FROM stats
+),
+est AS (
+  SELECT r.lang, r.n, r.mn, r.mx, r.r50, r.r95,
+         (SELECT min(bin) FROM cum WHERE cum.lang = r.lang AND cw >= r.r50)
+           AS b50,
+         (SELECT min(bin) FROM cum WHERE cum.lang = r.lang AND cw >= r.r95)
+           AS b95
+  FROM ranks r
+),
+exact AS (
+  SELECT o.lang,
+         max(CASE WHEN o.rn = r.r50 THEN o.n_chars END) AS p50_exact,
+         max(CASE WHEN o.rn = r.r95 THEN o.n_chars END) AS p95_exact
+  FROM (SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rn
+        FROM documents) o
+  JOIN ranks r ON r.lang = o.lang
+  GROUP BY o.lang
+)
+SELECT e.lang, e.n, e.mn, e.mx,
+       CAST(x.p50_exact AS BIGINT) AS p50_exact,
+       CAST(e.mn + ((2 * e.b50 + 1) * (e.mx - e.mn + 1)) // {2 * b}
+            AS BIGINT) AS p50_est,
+       CAST(x.p95_exact AS BIGINT) AS p95_exact,
+       CAST(e.mn + ((2 * e.b95 + 1) * (e.mx - e.mn + 1)) // {2 * b}
+            AS BIGINT) AS p95_est
+FROM est e JOIN exact x ON x.lang = e.lang
+"""
+
+
+@query("q_quantile_sketch", oracle=_qs_oracle())
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantiles per language: p50/p95 of
+    document length estimated from a 64-bin histogram (bin-midpoint
+    rule), reported beside the exact order statistics. The
+    bounded-state distributed-quantile pattern behind t-digest/KLL:
+    per-partition bin counts merge by ADD, so the sketch is one
+    map-side-combined aggregation regardless of data size, and the
+    histogram answers EVERY quantile afterwards (vs one rank per pass
+    for the exact path). Bin assignment, cumulative ranks, and midpoint
+    interpolation are all BIGINT arithmetic — hash-exact across
+    engines; the exact branch ranks by (value, doc_id) so the order
+    statistic itself is total-order deterministic.
+
+    Scale shape: pass 1 reduces to |langs| (min, max, n) rows
+    (broadcast back onto the scan); pass 2 reduces to ≤ |langs|·64 bin
+    rows before the (tiny) cumulative window; estimates derive from
+    bin-table lookups. The exact order-statistic branch (full per-lang
+    sort) exists for error accounting at test scale — production drops
+    it, keeping only the two-scan sketch. Spark's native
+    approx_percentile (rows-only twin ``q_approx_percentiles``) is the
+    same idea with engine-private GK summaries; this one is
+    bin-for-bin reproducible anywhere."""
+    b = _QS_BINS
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("n_chars").cast("bigint").alias("mn"),
+        F.max("n_chars").cast("bigint").alias("mx"),
+    )
+    binned = (
+        docs.join(F.broadcast(stats), "lang")
+        .select(
+            "lang",
+            F.expr(f"CAST((n_chars - mn) * {b} DIV (mx - mn + 1) AS BIGINT)")
+            .alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = binned.withColumn(
+        "cw",
+        F.sum("c").over(W.partitionBy("lang").orderBy("bin")).cast("bigint"),
+    )
+    ranks = stats.select(
+        "lang",
+        "n",
+        "mn",
+        "mx",
+        F.expr("(n + 1) DIV 2").alias("r50"),
+        F.expr("(95 * n + 99) DIV 100").alias("r95"),
+    )
+    hit = cum.join(F.broadcast(ranks), "lang")
+    b50 = (
+        hit.filter(F.col("cw") >= F.col("r50"))
+        .groupBy("lang")
+        .agg(F.min("bin").alias("b50"))
+    )
+    b95 = (
+        hit.filter(F.col("cw") >= F.col("r95"))
+        .groupBy("lang")
+        .agg(F.min("bin").alias("b95"))
+    )
+    ranked = docs.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("lang").orderBy("n_chars", "doc_id")),
+    )
+    exact = (
+        ranked.join(F.broadcast(ranks), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("r50"), F.col("n_chars")))
+            .cast("bigint").alias("p50_exact"),
+            F.max(F.when(F.col("rn") == F.col("r95"), F.col("n_chars")))
+            .cast("bigint").alias("p95_exact"),
+        )
+    )
+    return (
+        ranks.join(b50, "lang")
+        .join(b95, "lang")
+        .join(exact, "lang")
+        .select(
+            "lang",
+            "n",
+            "mn",
+            "mx",
+            "p50_exact",
+            F.expr(f"CAST(mn + ((2 * b50 + 1) * (mx - mn + 1)) DIV {2 * b}"
+                   f" AS BIGINT)").alias("p50_est"),
+            "p95_exact",
+            F.expr(f"CAST(mn + ((2 * b95 + 1) * (mx - mn + 1)) DIV {2 * b}"
+                   f" AS BIGINT)").alias("p95_est"),
+        )
+    )

@@ -624,3 +624,47 @@ def test_event_pmi_joins_on_basket_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_is_pure_aggregation(spark, sf_dir):
+    """HLL: registers build as (type, bucket) MAX aggregation — no
+    window, no Python, no cartesian anywhere in the plan."""
+    plan = plan_of(spark, "q_hll_distinct", sf_dir)
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct, registers, harm, exact
+
+
+def test_quantile_sketch_windows_are_per_lang(spark, sf_dir):
+    """Histogram quantiles: stats broadcast onto the scan; the
+    cumulative and exact-rank windows are partitioned by lang."""
+    plan = plan_of(spark, "q_quantile_sketch", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "lang" in line, line
+
+
+def test_snapshot_dedup_exchanges_digests_only(spark, sf_dir):
+    """Incremental dedup: every exchange key is the 16-byte digest —
+    the text column must not appear in any shuffle output."""
+    plan = plan_of(spark, "q_snapshot_dedup", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "dg" in line, line
+            assert "text" not in line, line
+
+
+def test_attribution_window_is_per_user(spark, sf_dir):
+    """Attribution: the last-touch window is partitioned by user_id
+    (never global); the share divisor broadcasts."""
+    plan = plan_of(spark, "q_attribution", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line

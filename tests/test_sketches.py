@@ -109,3 +109,78 @@ def test_event_pmi_support_bounds(spark):
     for r in rows:
         assert 0 < r.n_co <= min(r.n_a, r.n_b)
         assert r.type_a < r.type_b
+
+
+def test_hll_registers_match_python_mirror(spark):
+    """Register file (bucket → max rho) equals a Python HLL over the
+    same md5 pool, and the estimate obeys the published error regime."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    pools: dict[str, set] = {}
+    for r in ev:
+        h = hashlib.md5(f"hll1:{r.user_id}:{r.day}".encode()).hexdigest()
+        pools.setdefault(r.event_type, set()).add(h)
+    got = {r.event_type: r for r in S.q_hll_distinct(spark, SF).collect()}
+    assert set(got) == set(pools)
+    for t, pool in pools.items():
+        regs: dict[int, int] = {}
+        for h in pool:
+            bucket = int(h[:2], 16)
+            v = h[2:12].lstrip("0")
+            if not v:
+                rho = S._HLL_VBITS + 1
+            else:
+                lead = (10 - len(v)) * 4 + (4 - int(v[0], 16).bit_length())
+                rho = lead + 1
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        assert got[t].n_buckets == len(regs)
+        assert got[t].v_empty == S._HLL_M - len(regs)
+        assert got[t].n_exact == len(pool)
+
+
+def test_hll_error_within_regime(spark):
+    """HLL with m=256 → ~6.5% std error; 20% is a generous determinstic
+    ceiling the fixture sits inside at both scales (observed ≤ 11%)."""
+    for sf in (SF, SF_MED):
+        for r in S.q_hll_distinct(spark, sf).collect():
+            assert r.err_ppm < 200_000, (sf, r.event_type, r.err_ppm)
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark):
+    """The bin-midpoint estimate can never be farther from the exact
+    order statistic than one bin width."""
+    for r in S.q_quantile_sketch(spark, SF_MED).collect():
+        width = (r.mx - r.mn + 1) // S._QS_BINS + 1
+        assert abs(r.p50_est - r.p50_exact) <= width, r
+        assert abs(r.p95_est - r.p95_exact) <= width, r
+        assert r.mn <= r.p50_est <= r.p95_est <= r.mx + width
+
+
+def test_snapshot_dedup_flag_algebra(spark):
+    """kept ⇔ neither index-dup nor batch-dup; every flag path is
+    actually exercised by the snapshot carving."""
+    import spark_ml_spark.operators.dedup as DD
+
+    rows = DD.q_snapshot_dedup(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r.kept == int(not r.dup_of_index and not r.dup_in_batch)
+    assert sum(r.dup_of_index for r in rows) > 0
+    assert sum(r.dup_in_batch for r in rows) > 0
+    assert 0 < sum(r.kept for r in rows) < len(rows)
+
+
+def test_attribution_shares_and_total(spark):
+    import spark_ml_spark.operators.relational as R
+
+    rows = R.q_attribution(spark, SF_MED).collect()
+    n_purch = (
+        spark.read.parquet(f"{SF_MED}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purch
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert abs(total_ppm - 1_000_000) <= len(rows)  # per-row rounding
+    assert all(r.touch_type != "purchase" for r in rows)
