@@ -126,6 +126,11 @@ HEADLINE = (
     "q_quantile_sketch",
     "q_snapshot_dedup",
     "q_attribution",
+    # round-3 wave 11: exact prefix-filter similarity join, path mining,
+    # grouped closed-form OLS
+    "q_set_similarity_join",
+    "q_path_topk",
+    "q_grouped_ols",
 )
 
 

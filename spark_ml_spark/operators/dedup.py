@@ -801,3 +801,176 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering — wave-11
+# --------------------------------------------------------------------------
+
+#: Jaccard threshold in tenths (6 → 0.6) so every filter stays integer
+_SSJ_T10 = 6
+
+
+@query("q_set_similarity_join", oracle=rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ta
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ta[i:i+2], ' ')
+                for i in range(1, len(ta) - 1)])) AS token
+  FROM w WHERE len(ta) >= 3
+),
+df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM toks GROUP BY token
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id
+),
+ordered AS (
+  SELECT t.doc_id, t.token, s.sz,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY d.dfreq, t.token) AS rn
+  FROM toks t JOIN df d ON d.token = t.token
+  JOIN sizes s ON s.doc_id = t.doc_id
+),
+prefix AS (
+  SELECT doc_id, token, sz, rn FROM ordered
+  WHERE rn <= sz - (({_SSJ_T10} * sz + 9) // 10) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE 10 * LEAST(a.sz, b.sz) >= {_SSJ_T10} * GREATEST(a.sz, b.sz)
+    AND LEAST(a.sz - a.rn, b.sz - b.rn) + 1
+        >= ({_SSJ_T10} * (a.sz + b.sz) + 10 + {_SSJ_T10} - 1)
+           // (10 + {_SSJ_T10})
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b,
+         CAST(count(*) AS BIGINT) AS isz
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, isz,
+       sz_a + sz_b - isz AS union_sz,
+       CAST((isz * 1000000 + (sz_a + sz_b - isz) // 2)
+            // (sz_a + sz_b - isz) AS BIGINT) AS jac_ppm
+FROM inter
+WHERE (10 + {_SSJ_T10}) * isz >= {_SSJ_T10} * (sz_a + sz_b)
+""")
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold self-join (τ = 0.6 on word sets) via the
+    prefix-filtering principle (PPJoin, Xiao et al. WWW 2008): order
+    every document's tokens by ascending global document frequency
+    (rarest first — the order that minimizes candidates), keep only the
+    first |d| − ⌈τ·|d|⌉ + 1 tokens as the PREFIX, and join on prefix
+    tokens — two sets with Jaccard ≥ τ MUST share a prefix token, so
+    unlike the MinHash/SimHash family this has ZERO false negatives;
+    the size-ratio filter (τ·max ≤ min) prunes further, and the exact
+    intersection verify runs on candidates only. The threshold test is
+    the integer cross-multiplication (10+τ₁₀)·|∩| ≥ τ₁₀·(|a|+|b|)
+    (⇔ J ≥ τ with the union expanded) — no float until the reported
+    jac_ppm, which is rounded integer division.
+
+    Scale shape: token/df/size tables are map-side-combined
+    aggregations; the candidate stage is an equi-join ON PREFIX TOKENS
+    whose fan-out the frequency ordering actively minimizes (a prefix
+    token's bucket is its document frequency, concentrated at the RARE
+    end — the exact opposite of the hot-token bucket a naive any-token
+    join would hit, and the ``q_join_size_estimate`` pre-flight
+    quantifies the difference); the verify joins exploded tokens only
+    for surviving candidate pairs. This is the exact-algorithm
+    complement to ``q_minhash_native`` (probabilistic bands) — run
+    MinHash when τ is low and recall loss is acceptable, prefix
+    filtering when the answer must be exact. Cites
+    ``Data_transform.py`` n/a — the reference has no similarity join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), 3)).alias("token"),
+    )
+    df = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfreq")
+    )
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    ordered = (
+        toks.join(df, "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("dfreq", "token")
+            ),
+        )
+    )
+    t10 = _SSJ_T10
+    prefix = ordered.filter(
+        F.col("rn")
+        <= F.col("sz") - ((F.lit(t10) * F.col("sz") + 9) / 10).cast("bigint")
+        + 1
+    ).select("doc_id", "token", "sz", "rn")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            10 * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= t10 * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        # positional filter (PPJoin): all common tokens sit at or after
+        # this shared prefix token in the global (df, token) order, so
+        # the overlap can never exceed the shorter remaining suffix; a
+        # pair whose best-case overlap misses the required
+        # α = ⌈τ/(1+τ)·(|a|+|b|)⌉ dies here instead of in the verify
+        .filter(
+            F.least(
+                F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+            )
+            + 1
+            >= F.expr(
+                f"CAST(({t10} * (a.sz + b.sz) + {10 + t10} - 1)"
+                f" DIV {10 + t10} AS BIGINT)"
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("isz"))
+    )
+    return (
+        inter.filter(
+            (10 + t10) * F.col("isz") >= t10 * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "isz",
+            (F.col("sz_a") + F.col("sz_b") - F.col("isz")).alias("union_sz"),
+            F.expr(
+                "CAST((isz * 1000000 + (sz_a + sz_b - isz) DIV 2)"
+                " DIV (sz_a + sz_b - isz) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )

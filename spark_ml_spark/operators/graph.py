@@ -295,3 +295,52 @@ def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pmi_micro_nats"),
         )
     )
+
+
+@query("q_path_topk", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS path,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n FROM paths
+ORDER BY n DESC, path LIMIT 10
+""")
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step event-type paths across all users —
+    the clickstream path-mining rollup one level above
+    ``q_transition_matrix`` (first-order pairs): overlapping trigram
+    windows of each user's event sequence, counted globally. Path keys
+    are '>'-joined type names so ordering is total and engine-portable.
+
+    Scale shape: the two ``lead()``s run in ONE per-user window pass
+    (same partitioned window spec — Spark evaluates both in a single
+    WindowExec, no second shuffle); path counting is map-side-combined
+    on ≤ |V|³ keys (125 here) and the global top-10 is
+    TakeOrderedAndProject (per-partition heap, never a global sort).
+    The same plan shape mines longer n-grams by adding lead(k) columns
+    — state stays one user-partition wide."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

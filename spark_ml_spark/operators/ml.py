@@ -330,3 +330,82 @@ def q_logreg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("logreg", n_train, n_test, round(float(acc), 4))],
         "model string, n_train long, n_test long, accuracy double",
     )
+
+
+@query("q_grouped_ols", oracle=r"""
+WITH xy AS (
+  SELECT lang,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+  FROM documents
+),
+suff AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT)     AS sx,
+         CAST(sum(y) AS BIGINT)     AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n, sx, sy, sxy, sxx,
+       CAST(floor((n * sxy - sx * sy) * 1000000.0 / (n * sxx - sx * sx)
+                  + 0.5) AS BIGINT) AS slope_micro,
+       CAST(floor((sy * 1000000 - CAST(floor((n * sxy - sx * sy) * 1000000.0
+                                             / (n * sxx - sx * sx) + 0.5)
+                                       AS BIGINT) * sx) * 1.0 / n + 0.5)
+            AS BIGINT) AS intercept_micro
+FROM suff
+""")
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS — tokens-per-document regressed on
+    character count, one line fit PER LANGUAGE from sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²): slope = (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²). This is how regression actually runs at 100 TB — the model
+    fit is a MAP-SIDE-COMBINED AGGREGATION (five BIGINT sums merge
+    associatively per partition, the closed form evaluates on the
+    |groups|-row result), not an iterative solver pass over the data;
+    the global-MLlib twin is ``q_ols_regression`` (rows-only, engine
+    solver). Slope/intercept quantize to integer micro-units in ONE
+    float division per OUTPUT row over exact integer operands (the
+    q_lm_score discipline), and the intercept reuses the already
+    quantized slope so both engines round the same value.
+
+    Cites ``Data_transform.py:142-178`` (the reference's only model
+    fits are whole-table MLlib RF/GBT) — grouped closed-form fitting
+    is the scale extension its RDD pipeline cannot express without a
+    per-group collect."""
+    xy = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+        .alias("y"),
+    )
+    suff = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = F.floor(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * F.lit(1000000.0)
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return suff.select(
+        "lang",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        slope.alias("slope_micro"),
+        F.floor(
+            (F.col("sy") * F.lit(1000000) - slope * F.col("sx"))
+            * F.lit(1.0)
+            / F.col("n")
+            + F.lit(0.5)
+        ).cast("bigint").alias("intercept_micro"),
+    )

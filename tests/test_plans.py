@@ -668,3 +668,38 @@ def test_attribution_window_is_per_user(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "user_id" in line, line
+
+
+def test_set_similarity_join_is_equi_join_only(spark, sf_dir):
+    """Prefix filtering must plan as token equi-joins — the exact
+    similarity join earns its scale claim only if no nested-loop or
+    cartesian pair stage exists."""
+    plan = plan_of(spark, "q_set_similarity_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_path_topk_single_window_pass(spark, sf_dir):
+    """Both lead() columns must evaluate in ONE per-user window pass,
+    and the global top-10 must be TakeOrderedAndProject."""
+    plan = plan_of(spark, "q_path_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    window_nodes = [
+        line for line in plan.splitlines() if line.startswith("(")
+        and ") Window" in line
+    ]
+    assert len(window_nodes) == 1, window_nodes
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+def test_grouped_ols_is_pure_aggregation(spark, sf_dir):
+    """The grouped fit must be a two-phase hash aggregate over the five
+    sufficient statistics — no window, no solver iteration, no Python."""
+    plan = plan_of(spark, "q_grouped_ols", sf_dir)
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

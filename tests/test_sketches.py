@@ -184,3 +184,99 @@ def test_attribution_shares_and_total(spark):
     total_ppm = sum(r.share_ppm for r in rows)
     assert abs(total_ppm - 1_000_000) <= len(rows)  # per-row rounding
     assert all(r.touch_type != "purchase" for r in rows)
+
+
+def test_set_similarity_join_has_zero_false_negatives(spark):
+    """Brute-force every doc pair's exact shingle Jaccard in Python at
+    sf0.001 — the prefix-filter join must return EXACTLY the pairs with
+    J >= 0.6 (no false negatives is the algorithm's whole claim vs the
+    MinHash family, and no false positives because of the exact
+    verify)."""
+    import spark_ml_spark.operators.dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    shingles = {}
+    for r in docs:
+        toks = r.text.strip().split()
+        shingles[r.doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+    want = {}
+    ids = sorted(shingles)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingles[a], shingles[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if 10 * inter >= 6 * (len(sa | sb)):
+                want[(a, b)] = inter
+    got = {
+        (r.doc_a, r.doc_b): r.isz
+        for r in DD.q_set_similarity_join(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_set_similarity_dominates_minhash(spark):
+    """Any pair the probabilistic MinHash join reports at J >= 0.6 must
+    also be found by the exact prefix-filter join (LSH can only LOSE
+    pairs, never find one the exact algorithm misses)."""
+    import spark_ml_spark.operators.dedup as DD
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.q_set_similarity_join(spark, SF).collect()
+    }
+    mh = DD.q_minhash_native(spark, SF).collect()
+    for r in mh:
+        if r.jaccard >= 0.6:
+            assert (r.doc_a, r.doc_b) in exact, (r.doc_a, r.doc_b)
+
+
+def test_path_topk_matches_python_mirror(spark):
+    from collections import Counter, defaultdict
+
+    import spark_ml_spark.operators.graph as GG
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    paths = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        types = [t for (_, _, t) in evs]
+        for i in range(len(types) - 2):
+            paths[">".join(types[i:i + 3])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.path, r.n) for r in GG.q_path_topk(spark, SF).collect()]
+    assert got == want
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+
+    import spark_ml_spark.operators.ml as M
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "lang", "n_chars", "text"
+    ).collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(
+            (r.n_chars, len(r.text.strip().split()))
+        )
+    got = {r.lang: r for r in M.q_grouped_ols(spark, SF_MED).collect()}
+    assert set(got) == set(by_lang)
+    for lang, pts in by_lang.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[lang].slope_micro / 1e6 - slope) < 1e-4
+        assert abs(got[lang].intercept_micro / 1e6 - intercept) < 1e-2
+        assert got[lang].slope_micro > 0  # more chars → more tokens
