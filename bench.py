@@ -131,6 +131,10 @@ HEADLINE = (
     "q_set_similarity_join",
     "q_path_topk",
     "q_grouped_ols",
+    # round-3 wave 12: streaming sketch maintenance, sweep-line
+    # concurrency, data-skipping layout report
+    "q_concurrency",
+    "q_skipping_report",
 )
 
 

@@ -448,9 +448,17 @@ def global_rank(
             f"rank_col/total_col")
     if rank_col == total_col:
         raise ValueError("global_rank: rank_col and total_col must differ")
+    # persist the ranged layout: the rank join's two branches (local
+    # ranks, per-partition counts) BOTH read this exchange, and their
+    # consistency otherwise depends on Spark deduplicating the two
+    # RangePartitioner samplings into one ReusedExchange — when a plan
+    # change (e.g. a cached upstream) defeats that reuse, the branches
+    # sample different boundaries and ranks silently corrupt (caught by
+    # q_skipping_report's 65-file artifact, r3). Pinning the
+    # materialization makes _pid a fact of the data, not of the planner.
     ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     w_local = W.partitionBy("_pid").orderBy(*sort_cols)
     local = ranged.withColumn("_rn", F.row_number().over(w_local))
     pcs = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).agg(
@@ -514,9 +522,11 @@ def grouped_rank(
             f"rank_col/total_col")
     if rank_col == total_col:
         raise ValueError("grouped_rank: rank_col and total_col must differ")
+    # persist for branch-consistent _pid — same rationale (and same r3
+    # incident) as global_rank above
     ranged = df.repartitionByRange(
         partitions, *group_cols, *sort_cols
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).persist()
     w_local = W.partitionBy("_pid", *group_cols).orderBy(*sort_cols)
     local = ranged.withColumn("_rn", F.row_number().over(w_local))
     gpcs = (

@@ -1686,3 +1686,337 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_purchases * 1000000 + t DIV 2) DIV t AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+@query("q_concurrency", oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, sid,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS st,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS en
+  FROM (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+    FROM g
+  )
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT s.user_id, s.sid, d.day,
+         GREATEST(s.st, d.day * 86400000000)          AS t_on,
+         LEAST(s.en, (d.day + 1) * 86400000000 - 1) + 1 AS t_off
+  FROM sess s,
+       LATERAL (SELECT unnest(range(s.st // 86400000000,
+                                    s.en // 86400000000 + 1)) AS day) d
+),
+sweep AS (
+  SELECT day, t, delta FROM (
+    SELECT day, t_on AS t, 1 AS delta FROM seg
+    UNION ALL
+    SELECT day, t_off, -1 FROM seg
+  )
+),
+run AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS live
+  FROM sweep
+)
+SELECT CAST(r.day AS BIGINT) AS day,
+       CAST(n.n_sessions AS BIGINT) AS n_sessions,
+       CAST(max(r.live) AS BIGINT)  AS max_concurrent
+FROM run r
+JOIN (SELECT day, count(*) AS n_sessions FROM seg GROUP BY day) n
+  ON n.day = r.day
+GROUP BY r.day, n.n_sessions
+""")
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval
+    aggregation behind capacity planning ("how many users at once?"):
+    sessions (the ``q_sessionize`` 30-min-gap definition) become ±1
+    boundary events in epoch-MICROS integers; a per-day running sum
+    over (t, delta) is the live-session count and its max the daily
+    peak. Sessions crossing midnight split into per-day segments
+    (clipping cannot change instantaneous concurrency), which is what
+    makes the sweep PARTITIONABLE — the classic fix for the global
+    running sum this would otherwise need. Tie semantics are exact and
+    engine-portable: the off event fires at en+1 µs (half-open), delta
+    sorts -1 before +1 at equal t, and BOTH engines' default RANGE
+    window frame gives tied peers one shared cumulative value, so the
+    running sum is well-defined under ties without any float or
+    nondeterministic row order.
+
+    Scale shape: sessionize is the standard per-user lag+cumsum pass;
+    segments explode by calendar-day span (bounded: sessions are
+    gap-bounded, so almost always 1-2 days); the sweep shuffles ±1
+    rows on the day key and each day's window is one sorted pass.
+    Output is |days| rows."""
+    from spark_ml_spark.api import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, "user_id", "ts", "event_id", 1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("st"),
+            F.max(F.unix_micros("ts")).alias("en"),
+        )
+    )
+    day_us = 86400000000
+    seg = sess.select(
+        F.explode(
+            F.sequence(
+                (F.col("st") / day_us).cast("bigint"),
+                (F.col("en") / day_us).cast("bigint"),
+            )
+        ).alias("day"),
+        "st",
+        "en",
+    ).select(
+        "day",
+        F.greatest(F.col("st"), F.col("day") * day_us).alias("t_on"),
+        (
+            F.least(F.col("en"), (F.col("day") + 1) * day_us - 1) + 1
+        ).alias("t_off"),
+    )
+    sweep = seg.select(
+        "day", F.col("t_on").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("day", F.col("t_off").alias("t"), F.lit(-1).alias("delta"))
+    )
+    # default (RANGE) frame on purpose: tied (t, delta) peers must share
+    # one cumulative value in both engines
+    run = sweep.withColumn(
+        "live", F.sum("delta").over(W.partitionBy("day").orderBy("t", "delta"))
+    )
+    n = seg.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        run.groupBy("day")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+        .join(n, "day")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "n_sessions",
+            "max_concurrent",
+        )
+    )
+
+
+#: files per simulated layout in the skipping report
+_SKIP_FILES = 64
+
+
+def _skip_oracle() -> str:
+    mort = _morton_sql("nx", "ny")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+    # append the two payload keys so any residual tie is between rows
+    # identical in every referenced column — file stats are then
+    # permutation-invariant and the rank is effectively total
+    layouts = {
+        "natural": "l_orderkey, l_linenumber, l_partkey, l_suppkey",
+        "sorted_part": "l_partkey, l_suppkey, l_orderkey, l_linenumber",
+        "zorder": "zval, l_partkey, l_suppkey, l_orderkey, l_linenumber",
+    }
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS layout, "
+        f"(row_number() OVER (ORDER BY {order}) - 1) * {_SKIP_FILES} // n "
+        f"AS f, l_partkey, l_suppkey FROM z"
+        for name, order in layouts.items()
+    )
+    return f"""
+WITH s AS (
+  SELECT * FROM lineitem
+  WHERE substr(md5('skip:' || CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR) || ':'
+               || CAST(l_partkey AS VARCHAR) || ':'
+               || CAST(l_suppkey AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+),
+b AS (
+  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         min(l_suppkey) AS mins, max(l_suppkey) AS maxs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s
+),
+z AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         minp, maxp, mins, maxs, n, {mort} AS zval
+  FROM (
+    SELECT l.*, b.*,
+           CAST(FLOOR((l_partkey - minp) * 65536.0 / (maxp - minp + 1))
+                AS BIGINT) AS nx,
+           CAST(FLOOR((l_suppkey - mins) * 65536.0 / (maxs - mins + 1))
+                AS BIGINT) AS ny
+    FROM s l, b
+  )
+),
+files AS (
+  SELECT layout, f,
+         min(l_partkey) AS fp_min, max(l_partkey) AS fp_max,
+         min(l_suppkey) AS fs_min, max(l_suppkey) AS fs_max
+  FROM ({unions})
+  GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN fp_min <= b.minp + (b.maxp - b.minp) // 100
+                      AND fp_max >= b.minp THEN 1 ELSE 0 END) AS BIGINT)
+         AS part_hit_files,
+       CAST(sum(CASE WHEN fs_min <= b.mins + (b.maxs - b.mins) // 100
+                      AND fs_max >= b.mins THEN 1 ELSE 0 END) AS BIGINT)
+         AS supp_hit_files,
+       CAST((sum(fp_max - fp_min + 1) * 1000000
+             + (count(*) * (b.maxp - b.minp + 1)) // 2)
+            // (count(*) * (b.maxp - b.minp + 1)) AS BIGINT)
+         AS part_span_ppm,
+       CAST((sum(fs_max - fs_min + 1) * 1000000
+             + (count(*) * (b.maxs - b.mins + 1)) // 2)
+            // (count(*) * (b.maxs - b.mins + 1)) AS BIGINT)
+         AS supp_span_ppm
+FROM files, b
+GROUP BY layout, b.minp, b.maxp, b.mins, b.maxs
+"""
+
+
+@query("q_skipping_report", oracle=_skip_oracle())
+def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness report: simulate writing lineitem as
+    64 equal-row files under three layouts — arrival order ('natural'),
+    1-D sort on l_partkey, and z-order on (l_partkey, l_suppkey) — and
+    measure, from per-file min/max statistics alone (what parquet
+    row-group footers give a scan planner), how many files a 1%-band
+    point-range predicate on EACH key must touch, plus the mean
+    per-file key-span (ppm of domain — tight spans ARE skippability).
+    The quantified version of q_zorder_layout's claim: the 1-D sort
+    wins its own column and is useless for the other; z-order stays
+    tight on BOTH.
+
+    Scale shape: file assignment uses ``api.global_rank`` (range
+    repartition + two-phase offset — the exact dataflow of the
+    ``repartitionByRange().sortWithinPartitions()`` production write,
+    and rank over a total order is invariant to partitioner sampling,
+    so results are deterministic); per-file stats are one
+    map-side-combined aggregation per layout over (layout, file) keys;
+    the final report is |layouts|·|files| rows folding to |layouts|.
+    Bounds ride a 1-row broadcast. Everything integer, rounded integer
+    division for the ppm spans."""
+    from spark_ml_spark.api import global_rank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    # deterministic ~19% row sample (md5 gate, the q_stratified_sample
+    # discipline): the report is a layout ESTIMATE — simulating three
+    # physical layouts costs three full sorts, and sorting a fixed
+    # sample measures the same per-file span/prunability statistics at
+    # a fifth of the volume (production row-group audits sample the
+    # same way); the oracle applies the identical gate
+    li = li.filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("skip"),
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_partkey").cast("string"),
+                    F.col("l_suppkey").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).isin("0", "1", "2")
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"), F.max("l_suppkey").alias("maxs"),
+    )
+    n = li.crossJoin(F.broadcast(b)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.floor((F.col("l_partkey") - F.col("minp")) * 65536.0
+                / (F.col("maxp") - F.col("minp") + 1)).alias("nx"),
+        F.floor((F.col("l_suppkey") - F.col("mins")) * 65536.0
+                / (F.col("maxs") - F.col("mins") + 1)).alias("ny"),
+    )
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright("nx", i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright("ny", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    # three layout rankings (each with its own range-sampling pass) read
+    # this subtree — persist it once or the scan+normalize+interleave
+    # recomputes ~6× (measured 35 s → ~12 s at sf0.1); the bench harness
+    # clears cache between queries
+    zdf = n.withColumn("zval", z).persist()
+    layouts = {
+        "natural": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        "sorted_part": ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"],
+        "zorder": ["zval", "l_partkey", "l_suppkey", "l_orderkey",
+                   "l_linenumber"],
+    }
+    per_file = None
+    for name, order in layouts.items():
+        ranked = global_rank(zdf, order)
+        files = (
+            ranked.select(
+                F.lit(name).alias("layout"),
+                F.expr(
+                    f"(global_rank - 1) * {_SKIP_FILES} DIV n_total"
+                ).alias("f"),
+                "l_partkey",
+                "l_suppkey",
+            )
+            .groupBy("layout", "f")
+            .agg(
+                F.min("l_partkey").alias("fp_min"),
+                F.max("l_partkey").alias("fp_max"),
+                F.min("l_suppkey").alias("fs_min"),
+                F.max("l_suppkey").alias("fs_max"),
+            )
+        )
+        per_file = files if per_file is None else per_file.unionAll(files)
+    return (
+        per_file.crossJoin(F.broadcast(b))
+        .groupBy("layout", "minp", "maxp", "mins", "maxs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(
+                (
+                    (F.col("fp_min")
+                     <= F.col("minp") + (F.col("maxp") - F.col("minp")) / 100)
+                    & (F.col("fp_max") >= F.col("minp"))
+                ).cast("bigint")
+            ).cast("bigint").alias("part_hit_files"),
+            F.sum(
+                (
+                    (F.col("fs_min")
+                     <= F.col("mins") + (F.col("maxs") - F.col("mins")) / 100)
+                    & (F.col("fs_max") >= F.col("mins"))
+                ).cast("bigint")
+            ).cast("bigint").alias("supp_hit_files"),
+            F.expr(
+                f"CAST((sum(fp_max - fp_min + 1) * 1000000"
+                f" + (count(*) * (maxp - minp + 1)) DIV 2)"
+                f" DIV (count(*) * (maxp - minp + 1)) AS BIGINT)"
+            ).alias("part_span_ppm"),
+            F.expr(
+                f"CAST((sum(fs_max - fs_min + 1) * 1000000"
+                f" + (count(*) * (maxs - mins + 1)) DIV 2)"
+                f" DIV (count(*) * (maxs - mins + 1)) AS BIGINT)"
+            ).alias("supp_span_ppm"),
+        )
+        .select(
+            "layout", "n_files", "part_hit_files", "supp_hit_files",
+            "part_span_ppm", "supp_span_ppm",
+        )
+    )

@@ -505,3 +505,55 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions only) or complete; complete emits every session on this
     # finite replay, matching the batch oracle over ALL history
     return _drain(agg, "complete")
+
+
+def _stream_hll_oracle() -> str:
+    from spark_ml_spark.operators.sketches import _hex_int_sql, _hll_rho_sql
+
+    rho = _hll_rho_sql("substr(h, 3, 10)")
+    return f"""
+WITH d AS (
+  SELECT event_type,
+         md5('hll1:' || CAST(user_id AS VARCHAR) || ':'
+             || CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+  FROM events
+)
+SELECT event_type,
+       CAST({_hex_int_sql('h', 1, 2)} AS BIGINT) AS bucket,
+       CAST(max({rho}) AS BIGINT) AS r
+FROM d GROUP BY 1, 2
+"""
+
+
+@query("q_stream_hll", oracle=_stream_hll_oracle())
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the portable HyperLogLog register file
+    (``q_hll_distinct``'s sketch) — readStream → per-(type, bucket)
+    streaming MAX → complete-mode sink. This is WHY sketches power
+    streaming cardinality: the register update is idempotent
+    (duplicates and replays change nothing — max(r, r) = r), so the
+    stream needs NO dropDuplicates pass or per-entity state, just
+    ≤ |types|·m BIGINT registers of state regardless of stream length;
+    any micro-batch boundary yields the same registers as the batch
+    build, which is exactly what the oracle checks (same register SQL
+    as the batch op's ``reg`` stage). At 100 TB/day the register table
+    checkpoints tiny and merges across streams by the same MAX."""
+    from spark_ml_spark.operators.sketches import _hll_rho_sql
+
+    stream = _read_events_stream(spark, sf_dir)
+    d = stream.select(
+        "event_type",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("hll1"),
+                F.col("user_id").cast("string"),
+                F.to_date("ts").cast("string"),
+            )
+        ).alias("h"),
+    )
+    reg = d.groupBy(
+        "event_type",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+    ).agg(F.max(F.expr(_hll_rho_sql("substr(h, 3, 10)"))).cast("bigint").alias("r"))
+    return _drain(reg, "complete")

@@ -703,3 +703,24 @@ def test_grouped_ols_is_pure_aggregation(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_concurrency_windows_partitioned(spark, sf_dir):
+    """Sweep-line concurrency: every window is partitioned (per-user
+    sessionize, per-day sweep) — the day-split exists precisely to
+    avoid a global running sum."""
+    plan = plan_of(spark, "q_concurrency", sf_dir)
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line or "day" in line, line
+
+
+def test_skipping_report_uses_two_phase_rank(spark, sf_dir):
+    """File assignment must ride api.global_rank's range-partitioned
+    two-phase dataflow — no 'No Partition Defined' global window."""
+    plan = plan_of(spark, "q_skipping_report", sf_dir)
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line

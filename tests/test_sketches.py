@@ -8,6 +8,7 @@ no-underestimate, exact join prediction, flag algebra).
 
 from __future__ import annotations
 
+import calendar
 import hashlib
 from collections import Counter
 
@@ -280,3 +281,102 @@ def test_grouped_ols_matches_numpy(spark):
         assert abs(got[lang].slope_micro / 1e6 - slope) < 1e-4
         assert abs(got[lang].intercept_micro / 1e6 - intercept) < 1e-2
         assert got[lang].slope_micro > 0  # more chars → more tokens
+
+
+def test_stream_hll_registers_equal_batch_registers(spark):
+    """Streaming register maintenance must yield the exact register file
+    the batch build produces — the mergeable-MAX idempotency claim."""
+    import spark_ml_spark.streaming.stream_queries as SQ
+
+    got = {
+        (r.event_type, r.bucket): r.r
+        for r in SQ.q_stream_hll(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    regs: dict[tuple, int] = {}
+    for r in ev:
+        h = hashlib.md5(f"hll1:{r.user_id}:{r.day}".encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        v = h[2:12].lstrip("0")
+        rho = (
+            S._HLL_VBITS + 1
+            if not v
+            else (10 - len(v)) * 4 + (4 - int(v[0], 16).bit_length()) + 1
+        )
+        k = (r.event_type, bucket)
+        regs[k] = max(regs.get(k, 0), rho)
+    assert got == regs
+
+
+def test_concurrency_matches_python_sweep(spark):
+    """Daily peaks equal a brute-force per-microsecond interval check in
+    Python (sessions from the same 30-min-gap rule)."""
+    from collections import defaultdict
+
+    import spark_ml_spark.operators.relational as R
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    DAY = 86400000000
+    sessions = []
+    for evs in by_user.values():
+        evs.sort()
+        start = prev = None
+        for ts, _eid in evs:
+            # exact integer epoch-micros (float timestamp() rounds)
+            t = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+            if prev is None or t - prev > 1800 * 1_000_000:
+                if start is not None:
+                    sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    per_day = defaultdict(list)
+    for st, en in sessions:
+        for day in range(st // DAY, en // DAY + 1):
+            per_day[day].append(
+                (max(st, day * DAY), min(en, (day + 1) * DAY - 1))
+            )
+    want = {}
+    for day, segs in per_day.items():
+        events = []
+        for st, en in segs:
+            events.append((st, 1))
+            events.append((en + 1, -1))
+        events.sort(key=lambda e: (e[0], e[1]))
+        live = peak = 0
+        for _, d in events:
+            live += d
+            peak = max(peak, live)
+        want[day] = (len(segs), peak)
+    got = {
+        r.day: (r.n_sessions, r.max_concurrent)
+        for r in R.q_concurrency(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_skipping_report_layout_ordering(spark):
+    """The quantified layout claims: the 1-D sort is perfect on its own
+    key and useless on the other; z-order beats natural on BOTH keys."""
+    import spark_ml_spark.operators.relational as R
+
+    rows = {r.layout: r for r in R.q_skipping_report(spark, SF_MED).collect()}
+    nat, srt, z = rows["natural"], rows["sorted_part"], rows["zorder"]
+    assert nat.n_files == srt.n_files == z.n_files == 64
+    # 1-D sort: minimal touch on its own key, ~full scan on the other
+    # (with the md5 row sample a few 175-row files can miss the band,
+    # so "useless for skipping" means >80% touched, not exactly 64)
+    assert srt.part_hit_files <= z.part_hit_files <= nat.part_hit_files
+    assert srt.supp_hit_files > 51 and nat.supp_hit_files > 51
+    # z-order prunes heavily on BOTH keys
+    assert z.part_hit_files < nat.part_hit_files // 2
+    assert z.supp_hit_files < nat.supp_hit_files // 2
+    assert z.part_span_ppm < nat.part_span_ppm
+    assert z.supp_span_ppm < nat.supp_span_ppm
