@@ -135,6 +135,9 @@ HEADLINE = (
     # concurrency, data-skipping layout report
     "q_concurrency",
     "q_skipping_report",
+    # round-3 wave 13: privacy audit + BPE trainer inner loop
+    "q_k_anonymity",
+    "q_bpe_merge_step",
 )
 
 

@@ -1072,3 +1072,137 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.row_number().over(w).cast("long").alias("rk"), "doc_id")
         .filter(F.col("rk") <= _RSV_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy audit: k-anonymity — wave-13
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BAND = 50  # n_chars quasi-identifier coarsening
+
+
+@query("q_k_anonymity", oracle=f"""
+WITH qi AS (
+  SELECT lang, source, n_chars // {_KANON_BAND} AS len_band,
+         CAST(count(*) AS BIGINT) AS grp
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)   AS n_groups,
+       CAST(sum(grp) AS BIGINT)   AS n_rows,
+       CAST(min(grp) AS BIGINT)   AS k_min,
+       CAST(sum(CASE WHEN grp < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST((sum(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END) * 1000000
+             + sum(grp) // 2) // sum(grp) AS BIGINT) AS suppressed_ppm
+FROM qi GROUP BY lang
+""")
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length band): per language, how many QI equivalence
+    classes exist, the smallest class size, and how many classes/rows
+    fall below k=5 — the rows a release would have to suppress or
+    generalize (Sweeney 2002). The governance pre-flight for publishing
+    training corpora or metrics: re-identification risk lives exactly
+    in the small QI classes this counts, and ``suppressed_ppm`` is the
+    utility price of enforcing k (the decision input for coarsening
+    the bands — the same trade q_skipping_report quantifies for
+    layouts).
+
+    Scale shape: one map-side-combined count over the QI key, then a
+    |QI-classes|-row re-aggregation per language — the q_skew_profile
+    count-of-counts discipline (the raw table reduces before any
+    statistic); everything BIGINT, suppression share by rounded
+    integer division. The PII-redaction sibling (``q_pii_redact``)
+    scrubs direct identifiers; this audits the indirect ones."""
+    qi = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / _KANON_BAND).cast("bigint").alias("len_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("grp"))
+    )
+    below = F.col("grp") < _KANON_K
+    return qi.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("grp").cast("bigint").alias("n_rows"),
+        F.min("grp").cast("bigint").alias("k_min"),
+        F.sum(below.cast("bigint")).cast("bigint").alias("groups_below_k"),
+        F.sum(F.when(below, F.col("grp")).otherwise(0)).cast("bigint")
+        .alias("rows_below_k"),
+        F.expr(
+            f"CAST((sum(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END)"
+            f" * 1000000 + sum(grp) DIV 2) DIV sum(grp) AS BIGINT)"
+        ).alias("suppressed_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE trainer inner loop: merge-pair counting — wave-13
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@query("q_bpe_merge_step", oracle=rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wn FROM words GROUP BY w
+),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair, wn
+  FROM wc WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {_BPE_TOP}
+""")
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One inner-loop step of BPE tokenizer training (Sennrich et al.
+    2016): the top-20 most frequent ADJACENT symbol pairs across the
+    corpus — the pair a trainer would merge next. Computed the way fast
+    BPE trainers actually do it: pair counting runs over the DISTINCT
+    word table weighted by word frequency (``wc``, the q_vocab_build
+    pass), not over raw tokens — the corpus may hold billions of token
+    occurrences but only |vocab| distinct words, so the explode is
+    vocabulary-sized. Character (not byte) bigrams via ``substring``,
+    identical semantics in both engines including multi-byte text (the
+    zh documents exercise this).
+
+    Scale shape: one map-side-combined word count collapses the corpus;
+    the pair explode is in-row over distinct words only; pair counts
+    re-aggregate map-side (symbol-pair key space is tiny) and the
+    global top-20 is TakeOrderedAndProject. A full BPE train is this
+    step iterated with a re-segmentation between steps — each iteration
+    stays this same bounded dataflow."""
+    wc = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )

@@ -724,3 +724,26 @@ def test_skipping_report_uses_two_phase_rank(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_pid" in line, line
+
+
+def test_k_anonymity_is_count_of_counts(spark, sf_dir):
+    """k-anonymity: the QI table must reduce map-side before the
+    per-language statistics — no window, no Python."""
+    plan = plan_of(spark, "q_k_anonymity", sf_dir)
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bpe_merge_step_explodes_vocab_not_corpus(spark, sf_dir):
+    """BPE pair counting: the pair explode must run over the DISTINCT
+    word table (post-aggregation), and the top-20 must be
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "q_bpe_merge_step", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly two explodes: tokenization over the corpus, pairs over the
+    # vocab — and two two-phase aggregates (word count, pair count)
+    # between them, so the pair explode reads aggregated rows
+    assert plan.count(") Generate") == 2  # formatted detail-section nodes
+    assert plan.count("HashAggregate") >= 4

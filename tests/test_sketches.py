@@ -380,3 +380,40 @@ def test_skipping_report_layout_ordering(spark):
     assert z.supp_hit_files < nat.supp_hit_files // 2
     assert z.part_span_ppm < nat.part_span_ppm
     assert z.supp_span_ppm < nat.supp_span_ppm
+
+
+def test_k_anonymity_accounting(spark):
+    """Per-language group/row accounting must be internally consistent
+    and the fixture must actually exercise the violation path."""
+    import spark_ml_spark.operators.curation as C
+
+    rows = C.q_k_anonymity(spark, SF_MED).collect()
+    n_docs = spark.read.parquet(f"{SF_MED}/documents.parquet").count()
+    assert sum(r.n_rows for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r.k_min
+        assert r.groups_below_k <= r.n_groups
+        assert r.rows_below_k <= r.n_rows
+        assert r.rows_below_k >= r.groups_below_k * 1  # each class >= 1 row
+    assert any(r.groups_below_k > 0 for r in rows)
+
+
+def test_bpe_merge_step_matches_python(spark):
+    """Top pair counts equal a Python BPE-style weighted pair count."""
+    from collections import Counter
+
+    import spark_ml_spark.operators.curation as C
+
+    texts = (
+        spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    )
+    words = Counter()
+    for (t,) in texts:
+        words.update(t.strip().lower().split())
+    pairs = Counter()
+    for w, wn in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i:i + 2]] += wn
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: C._BPE_TOP]
+    got = [(r.pair, r.n) for r in C.q_bpe_merge_step(spark, SF).collect()]
+    assert got == want
