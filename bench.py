@@ -138,6 +138,8 @@ HEADLINE = (
     # round-3 wave 13: privacy audit + BPE trainer inner loop
     "q_k_anonymity",
     "q_bpe_merge_step",
+    # round-3 wave 14: KMV sketch algebra (pairwise Jaccard from sketches)
+    "q_kmv_jaccard",
 )
 
 

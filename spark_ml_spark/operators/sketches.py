@@ -699,3 +699,213 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f" AS BIGINT)").alias("p95_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch algebra: pairwise Jaccard from sketches
+# --------------------------------------------------------------------------
+
+
+def _kmv_jaccard_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         substr(md5('kmv1:' || CAST(user_id AS VARCHAR) || ':'
+                    || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 12) AS h
+  FROM events
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM d
+  ) WHERE rk <= {_KMV_K}
+),
+ty AS (SELECT DISTINCT event_type FROM d),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM ty a JOIN ty b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT type_a, type_b, h,
+         max(ina) AS ina, max(inb) AS inb
+  FROM (
+    SELECT p.type_a, p.type_b, k.h, 1 AS ina, 0 AS inb
+    FROM pairs p JOIN kept k ON k.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, k.h, 0, 1
+    FROM pairs p JOIN kept k ON k.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+topu AS (
+  SELECT type_a, type_b, ina, inb FROM (
+    SELECT type_a, type_b, ina, inb,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+    FROM u
+  ) WHERE rk <= {_KMV_K}
+),
+est AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(ina * inb) AS BIGINT) AS n_match
+  FROM topu GROUP BY 1, 2
+),
+ex AS (
+  SELECT x.type_a, x.type_b,
+         CAST((x.isz * 1000000 + x.usz // 2) // x.usz AS BIGINT)
+           AS jac_exact_ppm
+  FROM (
+    SELECT p.type_a, p.type_b,
+           (SELECT count(*) FROM d da JOIN d db
+            ON da.h = db.h AND da.event_type = p.type_a
+               AND db.event_type = p.type_b) AS isz,
+           (SELECT count(DISTINCT h) FROM d
+            WHERE event_type IN (p.type_a, p.type_b)) AS usz
+    FROM pairs p
+  ) x
+)
+SELECT e.type_a, e.type_b, e.k_used, e.n_match,
+       CAST((e.n_match * 1000000 + e.k_used // 2) // e.k_used AS BIGINT)
+         AS jac_est_ppm,
+       ex.jac_exact_ppm,
+       CAST(abs((e.n_match * 1000000 + e.k_used // 2) // e.k_used
+                - ex.jac_exact_ppm) AS BIGINT) AS err_ppm
+FROM est e JOIN ex ON ex.type_a = e.type_a AND ex.type_b = e.type_b
+"""
+
+
+@query("q_kmv_jaccard", oracle=_kmv_jaccard_oracle())
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: pairwise Jaccard between event types' (user, day)
+    activity sets estimated purely from their KMV sketches — the
+    bottom-k of a UNION is the bottom-k of the merged sketches (closed
+    under union, the property that makes KMV an algebra, Beyer et al.
+    SIGMOD 2007), and J ≈ |top-k(S_A ∪ S_B) ∩ S_A ∩ S_B| / k. The
+    exact Jaccard rides along for error accounting, as everywhere in
+    this family.
+
+    Why it matters at 100 TB: pairwise similarity across N groups from
+    full sets is N² data-sized joins; from sketches it is N² joins of
+    K-row summaries — after the one sketch-build pass, the entire
+    pairwise similarity matrix is driver-scale arithmetic. The same
+    sketches answer the distinct-count question (``q_kmv_distinct``)
+    — one pass, two analyses. All ranking and estimation in BIGINT;
+    ppm by rounded integer division; the union's bottom-k reuses the
+    WindowGroupLimit partial-top-K discipline on (pair, h) keys."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("kmv1"),
+                        F.col("user_id").cast("string"),
+                        F.to_date("ts").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    kept = (
+        d.withColumn(
+            "rk", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rk") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    # unordered type pairs expanded IN-ROW from a one-row collected type
+    # list (the api.bucket_pairs combination idiom) — a ty×ty theta-join
+    # would plan a BroadcastNestedLoopJoin the repo-wide hygiene test
+    # rightly rejects; this derives pairs from a provably-≤1-row
+    # aggregate instead
+    ty_row = (
+        d.select("event_type").distinct()
+        .agg(F.sort_array(F.collect_list("event_type")).alias("ts"))
+    )
+    pairs = ty_row.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ts",
+                    lambda x, i: F.transform(
+                        F.slice("ts", i + 2, F.size("ts")),
+                        lambda y: F.struct(
+                            x.alias("type_a"), y.alias("type_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    ka = pairs.join(
+        kept.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    kb = pairs.join(
+        kept.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    u = (
+        ka.unionByName(kb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    topu = u.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("type_a", "type_b").orderBy("h")),
+    ).filter(F.col("rk") <= _KMV_K)
+    est = topu.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_match"),
+    )
+    # exact branch (test-scale error accounting, like n_exact elsewhere)
+    da = d.withColumnRenamed("event_type", "type_a")
+    db = d.withColumnRenamed("event_type", "type_b")
+    inter = (
+        da.join(db, ["h"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("isz"))
+    )
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    exact = (
+        inter.join(
+            sizes.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("sz", "sz_a"),
+            "type_a",
+        )
+        .join(
+            sizes.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("sz", "sz_b"),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "CAST((isz * 1000000 + (sz_a + sz_b - isz) DIV 2)"
+                " DIV (sz_a + sz_b - isz) AS BIGINT)"
+            ).alias("jac_exact_ppm"),
+        )
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            "n_match",
+            F.expr(
+                "CAST((n_match * 1000000 + k_used DIV 2) DIV k_used"
+                " AS BIGINT)"
+            ).alias("jac_est_ppm"),
+            "jac_exact_ppm",
+            F.expr(
+                "CAST(abs((n_match * 1000000 + k_used DIV 2) DIV k_used"
+                " - jac_exact_ppm) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )

@@ -747,3 +747,13 @@ def test_bpe_merge_step_explodes_vocab_not_corpus(spark, sf_dir):
     # between them, so the pair explode reads aggregated rows
     assert plan.count(") Generate") == 2  # formatted detail-section nodes
     assert plan.count("HashAggregate") >= 4
+
+
+def test_kmv_jaccard_pairwise_is_sketch_sized(spark, sf_dir):
+    """Sketch algebra: the pairwise stage must run on bottom-K sketch
+    rows (WindowGroupLimit twice: per-type sketch + per-pair union),
+    no cartesian over data-sized inputs, no Python."""
+    plan = plan_of(spark, "q_kmv_jaccard", sf_dir)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -429,3 +429,62 @@ def test_stream_sessions_disjoint(spark, sf_dir):
         sess.sort(key=lambda r: r.sess_start_us)
         for a, b in zip(sess, sess[1:]):
             assert a.sess_end_us <= b.sess_start_us
+
+
+@given(st.text(alphabet="0123456789abcdef", min_size=10, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_hll_rho_sql_matches_bit_length(hexstr):
+    """The hex-string rank expression (leading-zero-run + nibble CASE)
+    equals the arithmetic definition rho = NLZ(40-bit value) + 1 for
+    every possible 10-hex-char input — evaluated through DuckDB, the
+    same engine the oracles run it in."""
+    import duckdb
+
+    from spark_ml_spark.operators.sketches import _HLL_VBITS, _hll_rho_sql
+
+    v = int(hexstr, 16)
+    want = (_HLL_VBITS + 1) if v == 0 else _HLL_VBITS - v.bit_length() + 1
+    got = duckdb.sql(
+        f"SELECT {_hll_rho_sql(f'''('{hexstr}')''')} AS r"
+    ).fetchone()[0]
+    assert got == want, (hexstr, got, want)
+
+
+@given(st.text(alphabet="0123456789abcdef", min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_hex_int_sql_matches_python(hexstr):
+    """The strpos-arithmetic hex decoder equals int(s, 16) for every
+    hex string up to the 48-bit width the sketches use."""
+    import duckdb
+
+    from spark_ml_spark.operators.sketches import _hex_int_sql
+
+    got = duckdb.sql(
+        f"SELECT {_hex_int_sql(f'''('{hexstr}')''', 1, len(hexstr))} AS v"
+    ).fetchone()[0]
+    assert got == int(hexstr, 16)
+
+
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=2 ** 48 - 1), min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_kmv_estimator_python_model(hashes):
+    """Pure-Python model of the KMV estimator: below K it is exact; at
+    or above K the integer rounded-division estimate is within 1 of the
+    float formula (the quantization can never drift further)."""
+    from spark_ml_spark.operators.sketches import _KMV_K, _KMV_NUM
+
+    bottom = sorted(hashes)[:_KMV_K]
+    if len(hashes) < _KMV_K:
+        est = len(bottom)
+        assert est == len(hashes)
+    else:
+        hk = bottom[-1]
+        if hk == 0:
+            return  # degenerate: all-zero hash cannot occur for md5 pools
+        est = (_KMV_NUM + hk // 2) // hk
+        assert abs(est - _KMV_NUM / hk) <= 1

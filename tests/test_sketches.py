@@ -141,11 +141,11 @@ def test_hll_registers_match_python_mirror(spark):
 
 
 def test_hll_error_within_regime(spark):
-    """HLL with m=256 → ~6.5% std error; 20% is a generous determinstic
-    ceiling the fixture sits inside at both scales (observed ≤ 11%)."""
+    """HLL with m=256 → ~6.5% std error; 25% is a ~4σ ceiling with
+    margin for driver fixture regeneration (observed ≤ 11%)."""
     for sf in (SF, SF_MED):
         for r in S.q_hll_distinct(spark, sf).collect():
-            assert r.err_ppm < 200_000, (sf, r.event_type, r.err_ppm)
+            assert r.err_ppm < 250_000, (sf, r.event_type, r.err_ppm)
 
 
 def test_quantile_sketch_error_bounded_by_bin_width(spark):
@@ -417,3 +417,33 @@ def test_bpe_merge_step_matches_python(spark):
     want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: C._BPE_TOP]
     got = [(r.pair, r.n) for r in C.q_bpe_merge_step(spark, SF).collect()]
     assert got == want
+
+
+def test_kmv_jaccard_matches_python_sketch_algebra(spark):
+    """The pairwise estimate equals a Python implementation of the
+    bottom-k union estimator over the same hash pools, and errors stay
+    inside the k=256 regime."""
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    pools: dict[str, set] = {}
+    for r in ev:
+        h = hashlib.md5(f"kmv1:{r.user_id}:{r.day}".encode()).hexdigest()[:12]
+        pools.setdefault(r.event_type, set()).add(h)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in S.q_kmv_jaccard(spark, SF_MED).collect()
+    }
+    types = sorted(pools)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            sa, sb = sorted(pools[a])[: S._KMV_K], sorted(pools[b])[: S._KMV_K]
+            union_top = sorted(set(sa) | set(sb))[: S._KMV_K]
+            n_match = sum(1 for h in union_top if h in set(sa) and h in set(sb))
+            r = got[(a, b)]
+            assert r.k_used == len(union_top)
+            assert r.n_match == n_match
+            # J-estimate std err ≈ sqrt(J(1-J)/k) ≈ 2.6pp at J≈0.2;
+            # 12pp ≈ 4.5σ, with regeneration margin
+            assert r.err_ppm < 120_000, (a, b, r.err_ppm)
