@@ -140,6 +140,8 @@ HEADLINE = (
     "q_bpe_merge_step",
     # round-3 wave 14: KMV sketch algebra (pairwise Jaccard from sketches)
     "q_kmv_jaccard",
+    # round-3 wave 15: rank-sum AUC evaluation
+    "q_auc",
 )
 
 

@@ -409,3 +409,91 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("intercept_micro"),
     )
+
+
+@query("q_auc", oracle="""
+WITH scored AS (
+  SELECT n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+hist AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(y) AS BIGINT) AS pos_s
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, n_s, pos_s,
+         CAST(COALESCE(sum(n_s) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         CAST(sum(n_s) - sum(pos_s) AS BIGINT) AS n_neg,
+         CAST(sum(pos_s * (2 * below + n_s + 1)) AS BIGINT) AS r2_pos
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       r2_pos - n_pos * (n_pos + 1) AS u2,
+       CAST(((r2_pos - n_pos * (n_pos + 1)) * 1000000 + n_pos * n_neg)
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg
+""")
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label (does document
+    length discriminate English?) via the Mann-Whitney rank-sum
+    identity AUC = U/(n₊·n₋) — the standard large-scale AUC evaluation,
+    computed WITHOUT ranking rows: ranks aggregate per DISTINCT SCORE
+    (tie-corrected average rank of score s = below(s) + (n_s+1)/2, kept
+    integer by working in DOUBLED rank units), so the corpus reduces to
+    a score histogram map-side, the cumulative runs over |distinct
+    scores| rows, and one fold yields U. Everything BIGINT, AUC in ppm
+    by rounded integer division — hash-exact cross-engine, which
+    per-row float rank-averaging would not be.
+
+    Scale shape: the q_skew_profile count-of-counts discipline applied
+    to model evaluation — a billion scored rows become |distinct
+    scores| histogram rows before any ordering happens; the window is
+    over that histogram, never the data. The MLlib twin
+    (BinaryClassificationEvaluator inside ``q_model_selection``) is
+    rows-only; this one is the oracle-checkable form. Cites
+    ``Data_transform.py:163-178`` — the reference evaluates with RMSE
+    only; classification-eval depth is a north-star extension."""
+    scored = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("y").cast("bigint").alias("pos_s"),
+    )
+    from pyspark.sql import Window as W
+
+    cum = hist.withColumn(
+        "below",
+        F.coalesce(
+            F.sum("n_s").over(
+                W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    agg = cum.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        (F.sum("n_s") - F.sum("pos_s")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos_s") * (2 * F.col("below") + F.col("n_s") + 1)
+        ).cast("bigint").alias("r2_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint").alias("u2"),
+        F.expr(
+            "CAST(((r2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " + n_pos * n_neg) DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )

@@ -757,3 +757,16 @@ def test_kmv_jaccard_pairwise_is_sketch_sized(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_auc_window_is_over_histogram(spark, sf_dir):
+    """AUC: the only window runs over the post-aggregation score
+    histogram (a HashAggregate sits below it in the plan), and no
+    Python appears anywhere."""
+    plan = plan_of(spark, "q_auc", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # the Window node's child chain must contain the histogram aggregate
+    tree = plan.split("\n\n")[0]
+    wpos = tree.index("Window")
+    assert "HashAggregate" in tree[wpos:], tree

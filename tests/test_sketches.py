@@ -447,3 +447,21 @@ def test_kmv_jaccard_matches_python_sketch_algebra(spark):
             # J-estimate std err ≈ sqrt(J(1-J)/k) ≈ 2.6pp at J≈0.2;
             # 12pp ≈ 4.5σ, with regeneration margin
             assert r.err_ppm < 120_000, (a, b, r.err_ppm)
+
+
+def test_auc_matches_python_rank_sum(spark):
+    """AUC equals a brute-force pairwise P(score_pos > score_neg) +
+    0.5·P(tie) computation in Python."""
+    import spark_ml_spark.operators.ml as M
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "n_chars", "lang"
+    ).collect()
+    pos = [r.n_chars for r in docs if r.lang == "en"]
+    neg = [r.n_chars for r in docs if r.lang != "en"]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    want_ppm = round(wins * 1_000_000 / (len(pos) * len(neg)))
+    r = M.q_auc(spark, SF).collect()[0]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert abs(r.auc_ppm - want_ppm) <= 1  # integer-division rounding
+    assert 0 <= r.auc_ppm <= 1_000_000
