@@ -140,8 +140,9 @@ HEADLINE = (
     "q_bpe_merge_step",
     # round-3 wave 14: KMV sketch algebra (pairwise Jaccard from sketches)
     "q_kmv_jaccard",
-    # round-3 wave 15: rank-sum AUC evaluation
+    # round-3 wave 15: rank-sum AUC + Spearman evaluation
     "q_auc",
+    "q_spearman",
 )
 
 

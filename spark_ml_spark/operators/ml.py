@@ -497,3 +497,120 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + n_pos * n_neg) DIV (2 * n_pos * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+@query("q_spearman", oracle=r"""
+WITH xy AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+  FROM documents
+),
+hx AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n_v FROM xy GROUP BY x
+),
+rx AS (
+  SELECT x,
+         2 * CAST(COALESCE(sum(n_v) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) + n_v + 1 AS r2
+  FROM hx
+),
+hy AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS n_v FROM xy GROUP BY y
+),
+ry AS (
+  SELECT y,
+         2 * CAST(COALESCE(sum(n_v) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) + n_v + 1 AS r2
+  FROM hy
+),
+ranked AS (
+  SELECT rx.r2 AS a, ry.r2 AS b
+  FROM xy JOIN rx ON rx.x = xy.x JOIN ry ON ry.y = xy.y
+),
+suff AS (
+  SELECT CAST(count(*) AS BIGINT)     AS n,
+         CAST(sum(a) AS BIGINT)       AS sa,
+         CAST(sum(b) AS BIGINT)       AS sb,
+         CAST(sum(a * b) AS BIGINT)   AS sab,
+         CAST(sum(a * a) AS BIGINT)   AS saa,
+         CAST(sum(b * b) AS BIGINT)   AS sbb
+  FROM ranked
+)
+SELECT n, sa, sb, sab, saa, sbb,
+       CAST(floor((n * sab - sa * sb) * 1000000.0
+                  / (sqrt((n * saa - sa * sa) * 1.0)
+                     * sqrt((n * sbb - sb * sb) * 1.0)) + 0.5)
+            AS BIGINT) AS rho_ppm
+FROM suff
+""")
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation between document
+    length and token count — Pearson over average ranks, with ranks
+    kept in DOUBLED integer units so ties never produce fractional
+    ranks (avg rank of value v = below(v) + (n_v+1)/2; doubled:
+    2·below + n_v + 1). The rank-based robust sibling of the Pearson
+    ``q_corr_matrix`` (outlier-insensitive, monotone-invariant — the
+    right correlation for heavy-tailed corpus statistics).
+
+    Scale shape: the ``q_auc`` count-of-counts discipline per variable
+    — each variable reduces to a value histogram map-side, cumulatives
+    run over |distinct values| histogram rows, and the rank maps
+    broadcast back onto one corpus pass that accumulates five BIGINT
+    sufficient statistics (the ``q_grouped_ols`` fit dataflow). Every
+    accumulator integer; the single float evaluation is the final
+    ρ = cov/(σₐ·σᵦ) on exact BIGINT operands (IEEE sqrt is correctly
+    rounded, so both engines compute the identical double). For
+    continuous variables, quantize to a grid first so the histograms
+    stay bounded."""
+    from pyspark.sql import Window as W
+
+    xy = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+        .alias("y"),
+    )
+
+    def rank_map(col: str):
+        h = xy.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+        return h.withColumn(
+            "r2",
+            2
+            * F.coalesce(
+                F.sum("n_v").over(
+                    W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint")
+            + F.col("n_v")
+            + 1,
+        ).select(col, "r2")
+    rx = rank_map("x").withColumnRenamed("r2", "a")
+    ry = rank_map("y").withColumnRenamed("r2", "b")
+    ranked = xy.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    suff = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    return suff.select(
+        "n",
+        "sa",
+        "sb",
+        "sab",
+        "saa",
+        "sbb",
+        F.floor(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            * F.lit(1000000.0)
+            / (
+                F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")) * F.lit(1.0))
+                * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")) * F.lit(1.0))
+            )
+            + F.lit(0.5)
+        ).cast("bigint").alias("rho_ppm"),
+    )

@@ -770,3 +770,12 @@ def test_auc_window_is_over_histogram(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     wpos = tree.index("Window")
     assert "HashAggregate" in tree[wpos:], tree
+
+
+def test_spearman_rank_maps_broadcast(spark, sf_dir):
+    """Spearman: both rank maps must broadcast onto the single corpus
+    pass; windows run only over the per-variable histograms."""
+    plan = plan_of(spark, "q_spearman", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("HashAggregate") >= 4

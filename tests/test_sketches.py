@@ -465,3 +465,38 @@ def test_auc_matches_python_rank_sum(spark):
     assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
     assert abs(r.auc_ppm - want_ppm) <= 1  # integer-division rounding
     assert 0 <= r.auc_ppm <= 1_000_000
+
+
+def test_spearman_matches_scipy_style_python(spark):
+    """rho equals a Python average-rank Spearman (Pearson over ranks)."""
+    import math
+
+    import spark_ml_spark.operators.ml as M
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "n_chars", "text"
+    ).collect()
+    xs = [r.n_chars for r in docs]
+    ys = [len(r.text.strip().split()) for r in docs]
+
+    def avg_ranks(vals):
+        order = {}
+        for v in vals:
+            order[v] = order.get(v, 0) + 1
+        below, start = {}, 0
+        for v in sorted(order):
+            below[v] = start
+            start += order[v]
+        return [below[v] + (order[v] + 1) / 2 for v in vals]
+
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(ra)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    cov = sum((a - ma) * (b - mb) for a, b in zip(ra, rb))
+    va = sum((a - ma) ** 2 for a in ra)
+    vb = sum((b - mb) ** 2 for b in rb)
+    want = cov / math.sqrt(va * vb)
+    r = M.q_spearman(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.rho_ppm / 1e6 - want) < 1e-5
+    assert r.rho_ppm > 800_000  # chars vs tokens: strongly monotone
