@@ -140,9 +140,10 @@ HEADLINE = (
     "q_bpe_merge_step",
     # round-3 wave 14: KMV sketch algebra (pairwise Jaccard from sketches)
     "q_kmv_jaccard",
-    # round-3 wave 15: rank-sum AUC + Spearman evaluation
+    # round-3 wave 15: rank-sum AUC + Spearman + association audit
     "q_auc",
     "q_spearman",
+    "q_association_audit",
 )
 
 

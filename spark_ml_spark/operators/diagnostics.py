@@ -219,3 +219,110 @@ def q_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical association audit — wave-15
+# --------------------------------------------------------------------------
+
+
+@query("q_association_audit", oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+  FROM documents GROUP BY 1, 2
+),
+marg_l AS (SELECT lang, CAST(sum(n_ls) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+marg_s AS (SELECT source, CAST(sum(n_ls) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_ls) AS BIGINT) AS n,
+               CAST(count(DISTINCT lang) AS BIGINT) AS r,
+               CAST(count(DISTINCT source) AS BIGINT) AS c
+        FROM cells),
+terms AS (
+  SELECT CAST(floor((ce.n_ls * 1000000.0 / tot.n)
+               * ln(ce.n_ls * 1.0 * tot.n / (ml.n_l * ms.n_s)) + 0.5)
+              AS BIGINT) AS mi_t,
+         CAST(floor((ce.n_ls - ml.n_l * 1.0 * ms.n_s / tot.n)
+                    * (ce.n_ls - ml.n_l * 1.0 * ms.n_s / tot.n)
+                    / (ml.n_l * 1.0 * ms.n_s / tot.n) * 1000000.0 + 0.5)
+              AS BIGINT) AS chi_t
+  FROM cells ce
+  JOIN marg_l ml ON ml.lang = ce.lang
+  JOIN marg_s ms ON ms.source = ce.source, tot
+)
+SELECT tot.n, tot.r, tot.c,
+       CAST(sum(mi_t) AS BIGINT)  AS mi_micro_nats,
+       CAST(sum(chi_t) AS BIGINT) AS chi2_micro,
+       CAST(floor(sqrt((sum(chi_t) / 1000000.0)
+                       / (tot.n * (LEAST(tot.r, tot.c) - 1))) * 1000000.0
+                  + 0.5) AS BIGINT) AS cramers_v_ppm
+FROM terms, tot
+GROUP BY tot.n, tot.r, tot.c
+""")
+def q_association_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association audit between language and source:
+    mutual information (micro-nats), the chi-square statistic (micro
+    units), and Cramér's V — the "is this metadata column predictive
+    of that one" pre-flight behind stratification, leakage checks, and
+    mixture design (a near-zero V says the columns can be sampled
+    independently; a high V says a domain split leaks language and
+    vice versa). Complements ``q_event_pmi`` (pairwise co-occurrence)
+    with the whole-table dependence measures.
+
+    Engine exactness: both statistics accumulate in the q_skew_profile
+    discipline — the corpus reduces to the r×c contingency table
+    map-side, each CELL's term quantizes to an integer (one ln/division
+    per cell over exact BIGINT counts), and the cell terms sum as
+    order-free BIGINT adds; Cramér's V derives from the already
+    quantized chi2 so both engines round the identical double. Windows:
+    none. Joins: marginals broadcast onto the |cells| ≤ r·c row table
+    (Spark side) — nothing data-sized moves after the first
+    aggregation."""
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ls"))
+    )
+    marg_l = cells.groupBy("lang").agg(F.sum("n_ls").cast("bigint").alias("n_l"))
+    marg_s = cells.groupBy("source").agg(
+        F.sum("n_ls").cast("bigint").alias("n_s")
+    )
+    tot = cells.agg(
+        F.sum("n_ls").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+    )
+    e = F.col("n_l") * F.lit(1.0) * F.col("n_s") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(marg_l), "lang")
+        .join(F.broadcast(marg_s), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            F.floor(
+                (F.col("n_ls") * 1000000.0 / F.col("n"))
+                * F.log(
+                    F.col("n_ls") * F.lit(1.0) * F.col("n")
+                    / (F.col("n_l") * F.col("n_s"))
+                )
+                + F.lit(0.5)
+            ).cast("bigint").alias("mi_t"),
+            F.floor(
+                (F.col("n_ls") - e) * (F.col("n_ls") - e) / e * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint").alias("chi_t"),
+        )
+    )
+    return terms.groupBy("n", "r", "c").agg(
+        F.sum("mi_t").cast("bigint").alias("mi_micro_nats"),
+        F.sum("chi_t").cast("bigint").alias("chi2_micro"),
+        F.floor(
+            F.sqrt(
+                (F.sum("chi_t") / F.lit(1000000.0))
+                / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("bigint").alias("cramers_v_ppm"),
+    )

@@ -500,3 +500,36 @@ def test_spearman_matches_scipy_style_python(spark):
     assert r.n == n
     assert abs(r.rho_ppm / 1e6 - want) < 1e-5
     assert r.rho_ppm > 800_000  # chars vs tokens: strongly monotone
+
+
+def test_association_audit_matches_python(spark):
+    """MI / chi2 / Cramér's V equal a direct Python contingency-table
+    computation within per-cell quantization error."""
+    import math
+    from collections import Counter
+
+    import spark_ml_spark.operators.diagnostics as DG
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "lang", "source"
+    ).collect()
+    cells = Counter((r.lang, r.source) for r in docs)
+    nl = Counter(r.lang for r in docs)
+    ns = Counter(r.source for r in docs)
+    n = len(docs)
+    mi = sum(
+        (c / n) * math.log(c * n / (nl[l] * ns[s]))
+        for (l, s), c in cells.items()
+    )
+    chi2 = sum(
+        (c - nl[l] * ns[s] / n) ** 2 / (nl[l] * ns[s] / n)
+        for (l, s), c in cells.items()
+    )
+    r = DG.q_association_audit(spark, SF_MED).collect()[0]
+    assert r.n == n and r.r == len(nl) and r.c == len(ns)
+    # per-cell quantization: error bounded by 0.5e-6 per cell
+    assert abs(r.mi_micro_nats / 1e6 - mi) < len(cells) * 1e-6
+    assert abs(r.chi2_micro / 1e6 - chi2) < len(cells) * 1e-6
+    v = math.sqrt((r.chi2_micro / 1e6) / (n * (min(r.r, r.c) - 1)))
+    assert abs(r.cramers_v_ppm / 1e6 - v) < 1e-5
+    assert 0 <= r.cramers_v_ppm <= 1_000_000
