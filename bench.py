@@ -144,6 +144,9 @@ HEADLINE = (
     "q_auc",
     "q_spearman",
     "q_association_audit",
+    # round-3 wave 16: distribution drift (KS + PSI)
+    "q_ks_drift",
+    "q_psi_drift",
 )
 
 

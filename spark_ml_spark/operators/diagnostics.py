@@ -326,3 +326,185 @@ def q_association_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("cramers_v_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: KS distance + PSI — wave-16
+# --------------------------------------------------------------------------
+
+
+@query("q_ks_drift", oracle="""
+WITH lab AS (
+  SELECT n_chars AS v, doc_id % 2 AS g FROM documents
+),
+hist AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM lab GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM hist
+),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+  FROM hist
+),
+gaps AS (
+  SELECT v, abs(ca * tot.nb - cb * tot.na) AS d2, tot.na, tot.nb
+  FROM cum, tot
+),
+best AS (
+  SELECT na, nb, d2 AS max_d2,
+         v AS ks_at_value,
+         row_number() OVER (ORDER BY d2 DESC, v) AS rk
+  FROM gaps
+)
+SELECT na, nb,
+       CAST((max_d2 * 1000000 + (na * nb) // 2) // (na * nb) AS BIGINT)
+         AS ks_ppm,
+       CAST(ks_at_value AS BIGINT) AS ks_at_value
+FROM best WHERE rk = 1
+""")
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the length
+    distributions of two corpus snapshots (even vs odd doc_ids — the
+    ``q_drift_diff``/``q_snapshot_dedup`` snapshot framing):
+    D = max_v |F_A(v) − F_B(v)|, evaluated ENTIRELY in integers by
+    cross-multiplying the empirical CDFs (|c_A·n_B − c_B·n_A| over the
+    merged value histogram, divided once at the end) — the
+    distribution-drift alarm that, unlike the mean-based
+    ``q_embedding_drift``, catches shape changes with equal means.
+    Reports where the maximum gap sits (``ks_at_value``, ties to the
+    smallest value) — the place to look when the alarm fires.
+
+    Scale shape: the two samples reduce to ONE merged value histogram
+    map-side (a and b counts in the same row — no join of two
+    histograms needed); cumulative and argmax run over |distinct
+    values| histogram rows (quantize continuous variables first, the
+    q_auc note). No float anywhere until the final ppm division."""
+    from pyspark.sql import Window as W
+
+    lab = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 2).alias("g")
+    )
+    hist = lab.groupBy("v").agg(
+        F.sum((F.col("g") == 0).cast("bigint")).cast("bigint").alias("a"),
+        F.sum((F.col("g") == 1).cast("bigint")).cast("bigint").alias("b"),
+    )
+    cum = hist.select(
+        "v",
+        F.sum("a").over(W.orderBy("v")).cast("bigint").alias("ca"),
+        F.sum("b").over(W.orderBy("v")).cast("bigint").alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        .alias("d2"),
+    )
+    best = gaps.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("d2").desc(), "v"))
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "na",
+        "nb",
+        F.expr(
+            "CAST((d2 * 1000000 + (na * nb) DIV 2) DIV (na * nb) AS BIGINT)"
+        ).alias("ks_ppm"),
+        F.col("v").cast("bigint").alias("ks_at_value"),
+    )
+
+
+_PSI_BINS = 10
+
+
+@query("q_psi_drift", oracle=f"""
+WITH lab AS (
+  SELECT n_chars AS v, doc_id % 2 AS g FROM documents
+),
+b AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM lab
+),
+binned AS (
+  SELECT LEAST({_PSI_BINS - 1}, (v - b.mn) * {_PSI_BINS} // (b.mx - b.mn + 1))
+           AS bin,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bc
+  FROM lab, b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(a) + {_PSI_BINS} AS BIGINT) AS na,
+         CAST(sum(bc) + {_PSI_BINS} AS BIGINT) AS nb
+  FROM binned
+),
+terms AS (
+  SELECT bin,
+         CAST(floor((((a + 1) * 1.0 / tot.na) - ((bc + 1) * 1.0 / tot.nb))
+                    * ln(((a + 1) * 1.0 / tot.na)
+                         / ((bc + 1) * 1.0 / tot.nb)) * 1000000.0 + 0.5)
+              AS BIGINT) AS t
+  FROM binned, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(t) AS BIGINT)   AS psi_micro,
+       CAST(max(t) AS BIGINT)   AS worst_bin_micro
+FROM terms
+""")
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the two corpus snapshots —
+    the production drift metric monitoring teams threshold at 0.1/0.25
+    — over 10 equi-width length bins with Laplace (+1) smoothing so
+    empty bins stay finite and INTEGER: each bin's
+    (p_A − p_B)·ln(p_A/p_B) term quantizes to micro units (one
+    ln per BIN over exact smoothed counts) and the total is an
+    order-free BIGINT sum; every term is ≥ 0 by construction (x·ln of
+    same-sign ratio), pinned in tests. The binned sibling of
+    ``q_ks_drift`` (KS finds WHERE the gap is; PSI weights ALL of it,
+    and its per-bin terms name the drifted regions).
+
+    Scale shape: bounds broadcast; one map-side-combined bin count with
+    both snapshots' counts in the same row; the term table is exactly
+    N_BINS rows. The same plan monitors any score column at any
+    cadence."""
+    lab = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 2).alias("g")
+    )
+    b = lab.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = (
+        lab.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.least(
+                F.lit(_PSI_BINS - 1),
+                F.expr(f"(v - mn) * {_PSI_BINS} DIV (mx - mn + 1)"),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum((F.col("g") == 0).cast("bigint")).cast("bigint").alias("a"),
+            F.sum((F.col("g") == 1).cast("bigint")).cast("bigint").alias("bc"),
+        )
+    )
+    tot = binned.agg(
+        (F.sum("a") + _PSI_BINS).cast("bigint").alias("na"),
+        (F.sum("bc") + _PSI_BINS).cast("bigint").alias("nb"),
+    )
+    pa = (F.col("a") + 1) * F.lit(1.0) / F.col("na")
+    pb = (F.col("bc") + 1) * F.lit(1.0) / F.col("nb")
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        F.floor((pa - pb) * F.log(pa / pb) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("t")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("t").cast("bigint").alias("psi_micro"),
+        F.max("t").cast("bigint").alias("worst_bin_micro"),
+    )

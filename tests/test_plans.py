@@ -779,3 +779,13 @@ def test_spearman_rank_maps_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("HashAggregate") >= 4
+
+
+def test_drift_ops_are_histogram_sized(spark, sf_dir):
+    """KS/PSI: both reduce to histogram/bin tables map-side; no Python,
+    no cartesian over data-sized inputs."""
+    for name in ("q_ks_drift", "q_psi_drift"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name
