@@ -147,6 +147,8 @@ HEADLINE = (
     # round-3 wave 16: distribution drift (KS + PSI)
     "q_ks_drift",
     "q_psi_drift",
+    # round-3 wave 17: data-quality constraint report
+    "q_dq_report",
 )
 
 

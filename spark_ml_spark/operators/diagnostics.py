@@ -508,3 +508,133 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("bigint").alias("psi_micro"),
         F.max("t").cast("bigint").alias("worst_bin_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint report — wave-17
+# --------------------------------------------------------------------------
+
+
+@query("q_dq_report", oracle="""
+WITH loaded AS (
+  -- simulated partial load: orders rows with orderkey % 97 = 0 missing
+  SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+),
+doubled AS (
+  -- simulated double load: rows with orderkey % 101 = 0 appended twice
+  SELECT o_orderkey FROM loaded
+  UNION ALL
+  SELECT o_orderkey FROM loaded WHERE o_orderkey % 101 = 0
+),
+checks AS (
+  SELECT 'pk_dup_orders' AS check_name,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_bad,
+         CAST(count(*) AS BIGINT) AS n_checked
+  FROM doubled
+  UNION ALL
+  SELECT 'fk_orphan_lineitem',
+         CAST(count(*) AS BIGINT), (SELECT count(*) FROM lineitem)
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM loaded o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'null_quantity',
+         CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range_discount',
+         CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range_quantity_pos',
+         CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+)
+SELECT check_name, n_bad, n_checked,
+       CAST((n_bad * 1000000 + n_checked // 2) // n_checked AS BIGINT)
+         AS bad_ppm
+FROM checks
+""")
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report over the star schema — the
+    dbt-test / Deequ-style validation pass every ingest runs before
+    downstream jobs trust the data: primary-key uniqueness,
+    referential integrity, null rate, and value-range checks, one row
+    per check with an integer-ppm violation rate. The two ingest
+    failure modes every warehouse eventually meets are SIMULATED
+    deterministically so all check paths are exercised (the
+    q_snapshot_dedup carving discipline): a partial load (orders with
+    orderkey % 97 = 0 missing → lineitem orphans) and a double load
+    (orderkey % 101 = 0 appended twice → PK duplicates); the null and
+    range checks audit the real columns (and report the fixture's
+    genuine cleanliness).
+
+    Scale shape: each check is a map-side-combined aggregate — PK
+    uniqueness via count−distinct (two-phase), referential integrity
+    via a LEFT ANTI join on the key (never a row-by-row lookup), null
+    and range checks as conditional counts fused into single scans.
+    The report unions five one-row aggregates; nothing data-sized
+    moves except the anti-join's key exchange. At 100 TB these checks
+    append per-partition to a metrics table and alert on bad_ppm
+    deltas (the q_anomaly_detect consumer)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    )
+    loaded = orders.filter(F.col("o_orderkey") % 97 != 0)
+    doubled = loaded.unionAll(loaded.filter(F.col("o_orderkey") % 101 == 0))
+    pk = doubled.agg(
+        F.lit("pk_dup_orders").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint").alias("n_bad"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+    )
+    li_total = li.agg(F.count(F.lit(1)).cast("bigint").alias("li_n"))
+    fk = (
+        li.join(loaded, li.l_orderkey == loaded.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bad"))
+        .crossJoin(F.broadcast(li_total))
+        .select(
+            F.lit("fk_orphan_lineitem").alias("check_name"),
+            "n_bad",
+            F.col("li_n").alias("n_checked"),
+        )
+    )
+    scans = li.agg(
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("nullq"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+            .cast("bigint")
+        ).alias("rd"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("rq"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    nullq = scans.select(
+        F.lit("null_quantity").alias("check_name"),
+        F.col("nullq").cast("bigint").alias("n_bad"),
+        F.col("n").alias("n_checked"),
+    )
+    rngd = scans.select(
+        F.lit("range_discount").alias("check_name"),
+        F.col("rd").cast("bigint").alias("n_bad"),
+        F.col("n").alias("n_checked"),
+    )
+    rngq = scans.select(
+        F.lit("range_quantity_pos").alias("check_name"),
+        F.col("rq").cast("bigint").alias("n_bad"),
+        F.col("n").alias("n_checked"),
+    )
+    return (
+        pk.unionAll(fk).unionAll(nullq).unionAll(rngd).unionAll(rngq)
+        .select(
+            "check_name",
+            "n_bad",
+            "n_checked",
+            F.expr(
+                "CAST((n_bad * 1000000 + n_checked DIV 2) DIV n_checked"
+                " AS BIGINT)"
+            ).alias("bad_ppm"),
+        )
+    )

@@ -789,3 +789,13 @@ def test_drift_ops_are_histogram_sized(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert plan.count("HashAggregate") >= 2, name
+
+
+def test_dq_report_fk_check_is_anti_join(spark, sf_dir):
+    """Referential integrity must plan as a hash anti-join on the key,
+    and the null/range checks fuse into shared scans — no Python, no
+    nested loop over data-sized inputs."""
+    plan = plan_of(spark, "q_dq_report", sf_dir)
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -575,3 +575,35 @@ def test_psi_drift_terms_nonnegative_and_small(spark):
     # rows/half (observed 0.12 at sf0.01); assert well under the level
     # an actual distribution change produces on this variable (≥ 1.0)
     assert r.psi_micro < 500_000
+
+
+def test_dq_report_matches_python(spark):
+    """Every check's count equals a direct Python recomputation, and
+    the injected failure modes actually fire."""
+    import spark_ml_spark.operators.diagnostics as DG
+
+    base = spark.read.parquet(f"{SF_MED}/orders.parquet").select(
+        "o_orderkey"
+    ).collect()
+    loaded = [r.o_orderkey for r in base if r.o_orderkey % 97 != 0]
+    doubled = loaded + [k for k in loaded if k % 101 == 0]
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    ).collect()
+    got = {r.check_name: r for r in DG.q_dq_report(spark, SF_MED).collect()}
+    assert got["pk_dup_orders"].n_bad == len(doubled) - len(set(doubled))
+    assert got["pk_dup_orders"].n_checked == len(doubled)
+    lset = set(loaded)
+    orphans = sum(1 for r in li if r.l_orderkey not in lset)
+    assert got["fk_orphan_lineitem"].n_bad == orphans
+    assert got["fk_orphan_lineitem"].n_checked == len(li)
+    assert got["null_quantity"].n_bad == sum(
+        1 for r in li if r.l_quantity is None
+    )
+    assert got["range_discount"].n_bad == sum(
+        1 for r in li if not (0 <= r.l_discount <= 1)
+    )
+    # injected failure modes fire; genuine checks report clean
+    assert got["pk_dup_orders"].n_bad > 0
+    assert got["fk_orphan_lineitem"].n_bad > 0
+    assert got["null_quantity"].n_bad == 0
