@@ -147,8 +147,9 @@ HEADLINE = (
     # round-3 wave 16: distribution drift (KS + PSI)
     "q_ks_drift",
     "q_psi_drift",
-    # round-3 wave 17: data-quality constraint report
+    # round-3 wave 17: data-quality constraint report + Benford audit
     "q_dq_report",
+    "q_benford_audit",
 )
 
 

@@ -638,3 +638,96 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bad_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — wave-17
+# --------------------------------------------------------------------------
+
+#: round(log10(1 + 1/d) * 1e6) for d = 1..9 — precomputed so NEITHER
+#: engine evaluates a logarithm (zero cross-engine libm surface)
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(
+        f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, start=1)
+    )
+    return f"""
+WITH digits AS (
+  -- floor() explicitly: DuckDB CAST(double AS BIGINT) rounds half-even
+  -- while Spark's cast truncates — floor agrees everywhere
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM lineitem WHERE l_extendedprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM digits),
+bf(digit, benford_ppm) AS (VALUES {vals})
+SELECT d.digit, d.n_obs,
+       CAST((d.n_obs * 1000000 + tot.n // 2) // tot.n AS BIGINT) AS obs_ppm,
+       CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(floor((d.n_obs - tot.n * (bf.benford_ppm / 1000000.0))
+                  * (d.n_obs - tot.n * (bf.benford_ppm / 1000000.0))
+                  / (tot.n * (bf.benford_ppm / 1000000.0)) * 1000000.0
+                  + 0.5) AS BIGINT) AS chi2_micro
+FROM digits d JOIN bf ON bf.digit = d.digit, tot
+"""
+
+
+@query("q_benford_audit", oracle=_benford_oracle())
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the price column — the
+    classic fabricated-data detector (Benford 1938; Nigrini's forensic
+    accounting standard): natural multiplicative data puts ~30.1% of
+    first digits at 1, while generated/uniform data spreads them flat.
+    Per digit: observed count and ppm, the Benford expectation, and the
+    chi-square contribution — the fixture's uniform synthetic prices
+    FAIL the audit loudly (pinned in tests), which is precisely the
+    point: this op detects synthetic/fabricated value columns in an
+    ingest. The Benford probabilities are PRECOMPUTED ppm literals, so
+    neither engine evaluates a logarithm — zero cross-engine libm
+    surface (tighter even than the q_lm_score quantized-ln discipline).
+
+    Scale shape: first digit extracts in-row (cast → substr — no UDF),
+    one map-side-combined 9-group count, the total broadcasts back, and
+    each digit's chi-square term quantizes once over exact integers.
+    Works on any positive measure column unchanged."""
+    digits = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") >= 1)
+        .groupBy(
+            F.substring(
+                F.floor(F.col("l_extendedprice")).cast("bigint")
+                .cast("string"), 1, 1
+            ).cast("bigint").alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    bf = F.broadcast(
+        digits.sparkSession.createDataFrame(
+            [(d, p) for d, p in enumerate(_BENFORD_PPM, start=1)],
+            "digit bigint, benford_ppm bigint",
+        )
+    )
+    e = F.col("n") * (F.col("benford_ppm") / F.lit(1000000.0))
+    return (
+        digits.join(bf, "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr(
+                "CAST((n_obs * 1000000 + n DIV 2) DIV n AS BIGINT)"
+            ).alias("obs_ppm"),
+            "benford_ppm",
+            F.floor(
+                (F.col("n_obs") - e) * (F.col("n_obs") - e) / e
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint").alias("chi2_micro"),
+        )
+    )

@@ -799,3 +799,14 @@ def test_dq_report_fk_check_is_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_benford_audit_is_nine_group_count(spark, sf_dir):
+    """Benford: in-row digit extraction (no UDF), one map-side-combined
+    9-group count, literal expectation table broadcast."""
+    plan = plan_of(spark, "q_benford_audit", sf_dir)
+    assert "BatchEvalPython" not in plan
+    # the literal Benford constants (9 rows, createDataFrame plans them
+    # as an ExistingRDD scan) ride a broadcast
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -607,3 +607,32 @@ def test_dq_report_matches_python(spark):
     assert got["pk_dup_orders"].n_bad > 0
     assert got["fk_orphan_lineitem"].n_bad > 0
     assert got["null_quantity"].n_bad == 0
+
+
+def test_benford_audit_flags_synthetic_prices(spark):
+    """The synthetic uniform-digit prices must FAIL the Benford audit
+    decisively (that detection is the op's purpose), digit shares must
+    sum to ~1, and counts must equal a Python mirror."""
+    import math
+    from collections import Counter
+
+    import spark_ml_spark.operators.diagnostics as DG
+
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet").select(
+        "l_extendedprice"
+    ).collect()
+    mirror = Counter(
+        int(str(int(math.floor(r.l_extendedprice)))[0])
+        for r in li
+        if r.l_extendedprice >= 1
+    )
+    rows = DG.q_benford_audit(spark, SF_MED).collect()
+    assert {r.digit: r.n_obs for r in rows} == dict(mirror)
+    assert abs(sum(r.obs_ppm for r in rows) - 1_000_000) <= 9
+    # chi2 far beyond the 5%-significance critical value for 8 df
+    # (15.5): uniform digits are unmistakably non-Benford
+    chi2 = sum(r.chi2_micro for r in rows) / 1e6
+    assert chi2 > 1000
+    # Benford constants sanity: the nine rounded shares happen to sum
+    # to exactly 1e6 ppm
+    assert sum(DG._BENFORD_PPM) == 1_000_000
