@@ -150,6 +150,8 @@ HEADLINE = (
     # round-3 wave 17: data-quality constraint report + Benford audit
     "q_dq_report",
     "q_benford_audit",
+    # round-3 wave 18: EWMA volume forecasting
+    "q_ewma_forecast",
 )
 
 

@@ -731,3 +731,107 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("chi2_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA forecast — wave-18
+# --------------------------------------------------------------------------
+
+#: round(0.3 · 0.7^k · 2^20) for k = 0..7 — fixed-point EWMA weights
+#: (α = 0.3, 8-lag truncation), precomputed so neither engine
+#: exponentiates; Σ = 988127 is the normalizer (truncation leaves
+#: ~1.2% of the geometric mass beyond lag 7)
+_EWMA_W = (314573, 220201, 154141, 107898, 75529, 52870, 37009, 25906)
+_EWMA_WSUM = sum(_EWMA_W)
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"{w} * COALESCE(lag(cnt, {k + 1}) OVER w, 0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cnt, {k + 1}) OVER w IS NULL THEN 0 ELSE {w} END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, day_idx, cnt,
+         CAST({num} AS BIGINT) AS num,
+         CAST({den} AS BIGINT) AS den
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+)
+SELECT event_type, day_idx, cnt,
+       CAST((num + den // 2) // den AS BIGINT) AS forecast,
+       CAST(cnt - (num + den // 2) // den AS BIGINT) AS residual
+FROM f WHERE den > 0
+"""
+
+
+@query("q_ewma_forecast", oracle=_ewma_oracle())
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast of daily event volume per type
+    (α = 0.3, 8-lag truncated) with residuals — the exponential-
+    smoothing baseline every volume-forecasting and alerting stack
+    starts from (Holt 1957 lineage; the forecasting sibling of
+    ``q_anomaly_detect``'s rolling z-score, which asks "is today odd?"
+    where this asks "what did we expect today to be?"). Weights are
+    FIXED-POINT 2⁻²⁰ integers precomputed at import (neither engine
+    exponentiates), the weighted sum is pure BIGINT arithmetic, and
+    warm-up edges renormalize over the PRESENT lags only (den counts
+    available weights), so the first forecastable day uses one lag,
+    not a zero-padded window.
+
+    Scale shape: one map-side-combined (type, day) count collapses the
+    stream; all eight lags evaluate in ONE partitioned window pass
+    (same spec → one WindowExec, the q_path_topk discipline); rounded
+    integer division yields the forecast. Residuals feed the
+    ``q_anomaly_detect`` alert and the per-type bias check pinned in
+    tests."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("day_idx")
+    lags = [F.lag("cnt", k + 1).over(w) for k in range(len(_EWMA_W))]
+    num = sum(
+        (F.coalesce(lg, F.lit(0)) * F.lit(wt)
+         for lg, wt in zip(lags, _EWMA_W)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(lg.isNull(), 0).otherwise(wt)
+         for lg, wt in zip(lags, _EWMA_W)),
+        F.lit(0),
+    )
+    f = daily.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+    ).filter(F.col("den") > 0)
+    return f.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.expr("CAST((num + den DIV 2) DIV den AS BIGINT)").alias("forecast"),
+        F.expr("CAST(cnt - (num + den DIV 2) DIV den AS BIGINT)")
+        .alias("residual"),
+    )

@@ -810,3 +810,18 @@ def test_benford_audit_is_nine_group_count(spark, sf_dir):
     # as an ExistingRDD scan) ride a broadcast
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ewma_all_lags_single_window(spark, sf_dir):
+    """EWMA: all eight lags must evaluate in ONE partitioned window
+    pass over the pre-aggregated daily table."""
+    plan = plan_of(spark, "q_ewma_forecast", sf_dir)
+    assert "BatchEvalPython" not in plan
+    window_nodes = [
+        line for line in plan.splitlines()
+        if line.startswith("(") and ") Window" in line
+    ]
+    assert len(window_nodes) == 1, window_nodes
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type" in line, line

@@ -636,3 +636,40 @@ def test_benford_audit_flags_synthetic_prices(spark):
     # Benford constants sanity: the nine rounded shares happen to sum
     # to exactly 1e6 ppm
     assert sum(DG._BENFORD_PPM) == 1_000_000
+
+
+def test_ewma_forecast_matches_python(spark):
+    """Forecasts equal a Python fixed-point EWMA over the same daily
+    counts, and the forecast tracks the signal (mean |residual| well
+    under the mean level)."""
+    from collections import defaultdict
+
+    import spark_ml_spark.operators.diagnostics as DG
+
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet").select(
+        "event_type", F.to_date("ts").alias("day")
+    ).collect()
+    import datetime
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        idx = (r.day - datetime.date(2024, 1, 1)).days
+        daily[r.event_type][idx] += 1
+    want = {}
+    for t, by_day in daily.items():
+        days = sorted(by_day)
+        for i, d in enumerate(days):
+            num = den = 0
+            for k, wgt in enumerate(DG._EWMA_W):
+                j = i - 1 - k
+                if j >= 0:
+                    num += wgt * by_day[days[j]]
+                    den += wgt
+            if den > 0:
+                want[(t, d)] = (num + den // 2) // den
+    rows = DG.q_ewma_forecast(spark, SF_MED).collect()
+    got = {(r.event_type, r.day_idx): r.forecast for r in rows}
+    assert got == want
+    mean_abs_res = sum(abs(r.residual) for r in rows) / len(rows)
+    mean_cnt = sum(r.cnt for r in rows) / len(rows)
+    assert mean_abs_res < mean_cnt / 2
