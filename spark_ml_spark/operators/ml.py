@@ -474,8 +474,13 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.withColumn(
         "below",
         F.coalesce(
+            # lit(0) key: window runs on the score HISTOGRAM (bounded
+            # distinct scores), single-partition by design — silences the
+            # WindowExec warning without changing the plan shape
             F.sum("n_s").over(
-                W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+                W.partitionBy(F.lit(0))
+                .orderBy("s")
+                .rowsBetween(W.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).cast("bigint"),
@@ -578,8 +583,11 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2",
             2
             * F.coalesce(
+                # lit(0) key: value-histogram window (bounded), see q_auc
                 F.sum("n_v").over(
-                    W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+                    W.partitionBy(F.lit(0))
+                    .orderBy(col)
+                    .rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).cast("bigint")

@@ -490,7 +490,20 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start, last + gap) — a gap of EXACTLY 30 min starts a new session —
     so the island break condition is >= gap, not > gap."""
     stream = _read_events_stream(spark, sf_dir)
-    agg = (
+    # session-window aggregation supports append (watermark-finalized
+    # sessions only) or complete; complete emits every session on this
+    # finite replay, matching the batch oracle over ALL history
+    return _drain(session_window_agg(stream), "complete")
+
+
+def session_window_agg(stream: DataFrame) -> DataFrame:
+    """The session-window aggregation pipeline of
+    :func:`q_stream_session_window`, factored out so
+    ``tests/test_streaming_multibatch.py`` can start it independently and
+    assert the JVM session-state-store nodes are in the PHYSICAL plan —
+    pinning the scale path (no Python in the state loop) this operator
+    exists to demonstrate."""
+    return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -501,10 +514,6 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    # session-window aggregation supports append (watermark-finalized
-    # sessions only) or complete; complete emits every session on this
-    # finite replay, matching the batch oracle over ALL history
-    return _drain(agg, "complete")
 
 
 def _stream_hll_oracle() -> str:

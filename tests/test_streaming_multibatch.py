@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from spark_ml_spark.api import sessionize
 from spark_ml_spark.io.sources import load
-from spark_ml_spark.streaming.stream_queries import stateful_session_counts
+from spark_ml_spark.streaming.stream_queries import (
+    _read_events_stream,
+    session_window_agg,
+    stateful_session_counts,
+)
 
 
 @pytest.fixture(scope="module")
@@ -86,3 +90,28 @@ def test_state_carries_across_batches(spark, sf_dir, split_events_dir):
     batch_map = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
     stream_map = {u: (r.n_sessions, r.n_events) for u, r in final.items()}
     assert stream_map == batch_map
+
+
+def test_session_window_uses_jvm_state_store(spark, sf_dir):
+    """Pin the scale path ``q_stream_session_window`` exists to
+    demonstrate: the native ``session_window`` aggregation must run in
+    the JVM state store (SessionWindowStateStoreRestore/Save physical
+    nodes — state merge + watermark expiry with no Python in the loop),
+    NOT the ``applyInPandasWithState`` escape hatch its stateful twin
+    uses (VERDICT r3 next-#7)."""
+    q = (
+        session_window_agg(_read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_window_plan_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # physical plan of the last executed micro-batch
+        plan = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    assert "SessionWindowStateStore" in plan, plan
+    assert "FlatMapGroupsInPandasWithState" not in plan
+    assert "BatchEvalPython" not in plan

@@ -27,6 +27,26 @@ EXPLAINED_REGRESSIONS = {
     # results are engine-exact and run-order-free; a 100 TB Q1 group
     # sums ~2.3e22 scale-6 quanta (past int64), so the wide decimal is
     # the honest accumulator. ~2-4x on the purest multi-agg shapes.
+    #
+    # r4 re-examination (VERDICT r3 next-#4, "switch to BIGINT cents
+    # where the domain provably fits"): REJECTED — the cheap form is
+    # unsound for exactly these queries, on two domain bounds:
+    #   1. Q1's summed expressions are PRODUCTS — price(2dp) × (1−disc)
+    #      (2dp) × (1+tax)(2dp) carries up to 6 decimal places, so
+    #      scale-2 (cent) quanta must ROUND each addend, and
+    #      double→integer conversion semantics diverge across engines
+    #      (Spark CAST truncates toward zero, DuckDB CAST rounds;
+    #      round() half-case tie-breaks also differ) — the exact class
+    #      of cross-engine hash flake the decimal path exists to kill.
+    #      Scale-6 quanta keep addends exact but overflow int64 at the
+    #      100 TB target (2.3e22 > 9.2e18).
+    #   2. Spark's decimal-sum fast path (long-backed buffer) needs sum
+    #      precision ≤18, i.e. input precision ≤8 — but price magnitudes
+    #      (~1e5) at scale 6 need ≥11 input digits, so no decimal width
+    #      that holds the domain gets the fast path. The ~2× constant
+    #      is the floor price of exact money aggregation in Spark, the
+    #      same one the official TPC-H DECIMAL(15,2) schema pays.
+    # Full math in functions/exact.py module docstring.
     "q_groupby_agg": "DECIMAL(25,6) exact accumulation (SCALING.md)",
     "q_sql_tpch_q1": "DECIMAL(25,6) exact accumulation (SCALING.md)",
     # same d766d77 trade: the star join's revenue column moved to
