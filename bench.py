@@ -152,6 +152,13 @@ HEADLINE = (
     "q_benford_audit",
     # round-3 wave 18: EWMA volume forecasting
     "q_ewma_forecast",
+    # round-4 wave 19: geo bucketing + grid-bounded nearest-site join
+    "q_geohash_encode",
+    "q_geo_knn_join",
+    # round-4 wave 20/21: recursive CTE, VARIANT extraction, arrow UDTF
+    "q_sql_recursive",
+    "q_variant_extract",
+    "q_udtf_bigrams",
 )
 
 

@@ -35,6 +35,8 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.graph",
     "spark_ml_spark.operators.diagnostics",
     "spark_ml_spark.operators.sketches",
+    "spark_ml_spark.operators.geo",
+    "spark_ml_spark.operators.modern_sql",
 )
 
 
