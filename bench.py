@@ -159,6 +159,10 @@ HEADLINE = (
     "q_sql_recursive",
     "q_variant_extract",
     "q_udtf_bigrams",
+    # round-4 wave 22: corpus-composition analytics
+    "q_ngram_novelty",
+    "q_vocab_coverage",
+    "q_zipf_audit",
 )
 
 

@@ -566,3 +566,48 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("bucket"),
     ).agg(F.max(F.expr(_hll_rho_sql("substr(h, 3, 10)"))).cast("bigint").alias("r"))
     return _drain(reg, "complete")
+
+
+@query("q_stream_static_join", oracle=_exact_sql("""
+SELECT c.c_mktsegment                           AS mktsegment,
+       CAST(FLOOR(epoch(e.ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*)                                  AS n_events,
+       ROUND(sum(e.value), 4)                    AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""))
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment: stream-STATIC join — the event stream joins
+    a batch-loaded dimension (customer) row-by-row as micro-batches
+    arrive, then aggregates per (market segment, hour). The canonical
+    "enrich the firehose with reference data" pattern: unlike the
+    stream-stream join (``q_stream_stream_join``) this keeps ZERO join
+    state — the static side is simply available to every micro-batch's
+    plan, re-broadcast from its current snapshot, so watermarks are
+    only needed for the aggregation, not the join.
+
+    Scale shape: the dimension is broadcast (a per-executor hash map at
+    1000 executors — dimension size, not stream size, is the only
+    bound); each micro-batch is a map-side hash-join probe with NO
+    shuffle before the windowed aggregation's state store. Exactness:
+    value sums accumulate in DECIMAL via ``exact_sum`` (same discipline
+    as ``q_stream_tumbling``) and the result must be byte-identical to
+    the batch join the oracle runs."""
+    from spark_ml_spark.io.sources import load
+
+    stream = _read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(exact_sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return _drain(agg, "complete")
