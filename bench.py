@@ -163,6 +163,11 @@ HEADLINE = (
     "q_ngram_novelty",
     "q_vocab_coverage",
     "q_zipf_audit",
+    # round-4 wave 24: full-outer reconciliation, SCD-2 history,
+    # per-column entropy profile
+    "q_full_outer_join",
+    "q_scd2_intervals",
+    "q_entropy_profile",
 )
 
 

@@ -844,3 +844,65 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(cnt - (num + den DIV 2) DIV den AS BIGINT)")
         .alias("residual"),
     )
+
+
+@query("q_entropy_profile", oracle="""
+WITH vals AS (
+  SELECT 'lang' AS col_name, lang AS v FROM documents
+  UNION ALL
+  SELECT 'source' AS col_name, source AS v FROM documents
+),
+h AS (
+  SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+  FROM vals GROUP BY col_name, v
+),
+s AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY col_name)
+SELECT h.col_name,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CAST(floor(c * (ln(CAST(n AS DOUBLE) / c)) / n * 1000000.0
+                           + 0.5) AS BIGINT)) AS BIGINT)  AS entropy_micronat,
+       CAST(floor(max(c) * 1000000.0 / max(n) + 0.5) AS BIGINT)
+         AS top_share_ppm
+FROM h JOIN s USING (col_name)
+GROUP BY h.col_name
+""")
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: per-column Shannon entropy + concentration — the
+    column-level summary a profiler (Deequ/dbt docs) prints beside
+    ``q_dq_report``'s constraint checks: near-zero entropy or a
+    top-value share near 1e6 ppm flags a column that is effectively
+    constant (dead dimension, broken extractor); entropy near
+    ln(n_distinct) flags uniform/synthetic values.
+
+    Engine exactness: the ``q_lm_score`` discipline — each value's
+    ``(c/n)·ln(n/c)`` term is quantized to integer micro-nats at the
+    VALUE-HISTOGRAM table (one ln per distinct value), so the per-column
+    reduction is exact order-free BIGINT summation.
+
+    Scale shape: one ``stack`` unpivot scan (column count × rows, map
+    only) → per-(column, value) hash agg with map-side combine (the only
+    corpus-sized exchange) → per-column rollup over histogram-sized
+    data. Profiling 100 TB costs one pass regardless of how many columns
+    are stacked."""
+    vals = load(spark, sf_dir, "documents").selectExpr(
+        "stack(2, 'lang', lang, 'source', source) AS (col_name, v)"
+    )
+    h = vals.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    s = h.groupBy("col_name").agg(F.sum("c").cast("long").alias("n"))
+    term = F.floor(
+        F.col("c")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        / F.col("n")
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    return (
+        h.join(F.broadcast(s), "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(term).cast("long").alias("entropy_micronat"),
+            F.floor(F.max("c") * 1000000.0 / F.max("n") + 0.5)
+            .cast("long").alias("top_share_ppm"),
+        )
+    )

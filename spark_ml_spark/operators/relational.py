@@ -2020,3 +2020,117 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_span_ppm", "supp_span_ppm",
         )
     )
+
+
+@query("q_full_outer_join", oracle="""
+WITH a AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(a.k, b.k)          AS k,
+       COALESCE(a.n_orders, 0)    AS n_orders,
+       COALESCE(b.n_events, 0)    AS n_events,
+       CASE WHEN a.k IS NULL THEN 'events_only'
+            WHEN b.k IS NULL THEN 'orders_only'
+            ELSE 'both' END       AS presence
+FROM a FULL OUTER JOIN b ON a.k = b.k
+""")
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J+: FULL OUTER reconciliation — the join type the rest of the
+    suite's star/semi/anti coverage lacks, in its canonical warehouse
+    role: reconcile two independently-derived per-entity aggregates
+    (order activity vs event activity) and classify every entity as
+    present in one, the other, or both. The null channels ARE the
+    payload: ``orders_only``/``events_only`` rows are the
+    reconciliation exceptions downstream jobs act on.
+
+    Scale shape: both inputs pre-aggregate to one row per key BEFORE
+    the join (map-side combine absorbs the fact-table volume), so the
+    full-outer sort-merge join exchanges only entity-level rows. A
+    full outer join can never broadcast (both sides must surface
+    unmatched rows) — pre-aggregation is exactly what keeps its
+    shuffle entity-sized, not fact-sized, at 100 TB. AQE handles any
+    residual key skew."""
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    joined = a.withColumnRenamed("k", "ak").join(
+        b.withColumnRenamed("k", "bk"),
+        F.col("ak") == F.col("bk"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("ak", "bk").alias("k"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("ak").isNull(), "events_only")
+        .when(F.col("bk").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@query("q_scd2_intervals", oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+chg AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM c WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id,
+       event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+         AS valid_to_us
+FROM chg
+""")
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build — the dimension-versioning complement of
+    ``q_upsert_latest`` (SCD-1): collapse each entity's attribute
+    stream (here: a user's event_type) into validity intervals
+    ``[valid_from, valid_to)``, keeping only CHANGE points (runs of the
+    same value merge into one interval; the open current version has
+    NULL valid_to). This is the gap-islands intervalization every
+    warehouse dimension-history load runs.
+
+    Scale shape: two windows over the same (user_id, ts, event_id)
+    partitioning — Catalyst plans ONE exchange + sort reused by both
+    (lag to find change points, lead over the filtered change rows for
+    interval ends); state per key is one row of lookback, no
+    self-join, no explode. Interval bounds are exact epoch
+    MICROSECONDS (the ``q_stream_session_window`` discipline — whole-
+    second casts round vs truncate differently across engines)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )
