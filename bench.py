@@ -168,6 +168,11 @@ HEADLINE = (
     "q_full_outer_join",
     "q_scd2_intervals",
     "q_entropy_profile",
+    # round-4 wave 25: oracle-exact Lloyd step, naive Bayes confusion,
+    # calibration bins
+    "q_kmeans_step",
+    "q_nb_classify",
+    "q_calibration_bins",
 )
 
 

@@ -622,3 +622,260 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("rho_ppm"),
     )
+
+
+@query("q_nb_classify", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+langs AS (
+  SELECT lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT)               AS n_toks
+  FROM toks GROUP BY lang
+),
+vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS docs FROM langs),
+-- per-language constants quantized to integer micro-nats ONCE (the
+-- q_lm_score discipline): prior surprisal and the unseen-token default
+lconst AS (
+  SELECT l.lang,
+         CAST(floor(-ln(l.n_docs / CAST(t.docs AS DOUBLE)) * 1000000.0
+                    + 0.5) AS BIGINT) AS prior_micro,
+         CAST(floor(-ln(1 / CAST(l.n_toks + vocab.v AS DOUBLE)) * 1000000.0
+                    + 0.5) AS BIGINT) AS default_micro,
+         l.n_toks
+  FROM langs l CROSS JOIN tot t CROSS JOIN vocab
+),
+model AS (
+  SELECT tk.lang, tk.token, CAST(count(*) AS BIGINT) AS c
+  FROM toks tk GROUP BY tk.lang, tk.token
+),
+-- delta vs the unseen default, quantized at the model table: the score
+-- decomposition  score = prior + N_doc*default + sum(delta over SEEN
+-- (lang, token) pairs)  keeps the dense lang x vocab grid virtual
+deltas AS (
+  SELECT m.lang, m.token,
+         CAST(floor(-ln((m.c + 1) / CAST(lc.n_toks + vocab.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)
+           - lc.default_micro AS delta_micro
+  FROM model m JOIN lconst lc USING (lang) CROSS JOIN vocab
+),
+docs AS (
+  SELECT doc_id, max(lang) AS true_lang,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY doc_id
+),
+dsum AS (
+  SELECT t.doc_id, d.lang,
+         CAST(sum(d.delta_micro) AS BIGINT) AS delta_sum
+  FROM toks t JOIN deltas d ON t.token = d.token
+  GROUP BY t.doc_id, d.lang
+),
+scored AS (
+  SELECT docs.doc_id, docs.true_lang, lc.lang,
+         lc.prior_micro + docs.n_tokens * lc.default_micro
+           + COALESCE(ds.delta_sum, 0) AS score_micro
+  FROM docs CROSS JOIN lconst lc
+  LEFT JOIN dsum ds ON ds.doc_id = docs.doc_id AND ds.lang = lc.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_micro, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+""")
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M+: multinomial naive Bayes language classification — fit add-one
+    smoothed per-language unigram models on the corpus, classify every
+    document by minimum total surprisal (= maximum log-likelihood +
+    prior), output the confusion matrix against the labeled ``lang``
+    column. The model-based sibling of the heuristic ``q_lang_id``, and
+    the supervised twin of ``q_lm_score``'s single LM.
+
+    Engine exactness: all log terms quantize to integer micro-nats at
+    MODEL granularity (one ln per distinct (lang, token) pair + one
+    prior/default pair per language), so document scores are exact
+    BIGINT sums; argmin ties break on language code.
+
+    Scale shape: the dense |langs|x|vocab| grid is NEVER materialized —
+    the score decomposes as prior + n_tokens*default + Σ delta over
+    SEEN pairs only, so the token stream joins the (lang, token) delta
+    table on the token key (broadcast, vocab-sized) with a bounded
+    |langs|-way fanout, and the per-(doc, lang) sum map-side-combines.
+    The doc x lang completion broadcasts the per-language constants as
+    ONE array-of-structs scalar row and explodes it per document —
+    bounded fanout, no data-sized nested-loop join anywhere."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).persist()
+    langs = toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    )
+    vocab = toks.agg(F.countDistinct("token").cast("long").alias("v"))
+    tot = langs.agg(F.sum("n_docs").cast("long").alias("docs"))
+    lconst = (
+        langs.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.floor(
+                -F.log(F.col("n_docs") / F.col("docs").cast("double"))
+                * 1000000.0 + F.lit(0.5)
+            ).cast("long").alias("prior_micro"),
+            F.floor(
+                -F.log(
+                    F.lit(1) / (F.col("n_toks") + F.col("v")).cast("double")
+                ) * 1000000.0 + F.lit(0.5)
+            ).cast("long").alias("default_micro"),
+            "n_toks",
+        )
+    )
+    model = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    deltas = (
+        model.join(F.broadcast(lconst), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang", "token",
+            (
+                F.floor(
+                    -F.log(
+                        (F.col("c") + 1)
+                        / (F.col("n_toks") + F.col("v")).cast("double")
+                    ) * 1000000.0 + F.lit(0.5)
+                ).cast("long")
+                - F.col("default_micro")
+            ).alias("delta_micro"),
+        )
+    )
+    docs = toks.groupBy("doc_id").agg(
+        F.max("lang").alias("true_lang"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    dsum = (
+        toks.select("doc_id", "token")  # drop the true-lang column: the
+        # join below brings the CANDIDATE lang from the delta table
+        .join(F.broadcast(deltas), "token")
+        .groupBy("doc_id", F.col("lang").alias("cand_lang"))
+        .agg(F.sum("delta_micro").cast("long").alias("delta_sum"))
+    )
+    # doc x lang completion: the per-language constants fold into ONE
+    # ungrouped-aggregate row (array of |langs| structs) broadcast as a
+    # scalar — the repo's sanctioned 1-row crossJoin form — and explode
+    # re-expands them per document (bounded |langs|-way fanout)
+    lconst_arr = lconst.agg(
+        F.collect_list(
+            F.struct("lang", "prior_micro", "default_micro")
+        ).alias("larr")
+    )
+    grid = (
+        docs.crossJoin(F.broadcast(lconst_arr))
+        .select(
+            "doc_id", "true_lang", "n_tokens",
+            F.explode("larr").alias("lc"),
+        )
+        .select(
+            "doc_id", "true_lang", "n_tokens",
+            F.col("lc.lang").alias("lang"),
+            F.col("lc.prior_micro").alias("prior_micro"),
+            F.col("lc.default_micro").alias("default_micro"),
+        )
+    )
+    scored = grid.join(
+        dsum,
+        (grid.doc_id == dsum.doc_id) & (grid.lang == dsum.cand_lang),
+        "left",
+    ).select(
+        grid.doc_id, "true_lang", "lang",
+        (
+            F.col("prior_micro")
+            + F.col("n_tokens") * F.col("default_micro")
+            + F.coalesce("delta_sum", F.lit(0))
+        ).alias("score_micro"),
+    )
+    pred = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max("true_lang").alias("true_lang"),
+            F.min(F.struct("score_micro", "lang")).alias("m"),
+        )
+        .select("true_lang", F.col("m.lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+@query("q_calibration_bins", oracle="""
+WITH scored AS (
+  SELECT n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+rng AS (
+  SELECT CAST(min(s) AS BIGINT) AS mn, CAST(max(s) AS BIGINT) AS mx
+  FROM scored
+)
+SELECT CAST((s - mn) * 10 // (mx - mn + 1) AS BIGINT)    AS bin,
+       CAST(count(*) AS BIGINT)                          AS n,
+       CAST(sum(y) AS BIGINT)                            AS n_pos,
+       CAST(floor(sum(y) * 1000000.0 / count(*) + 0.5) AS BIGINT)
+         AS pos_rate_ppm,
+       CAST((2 * sum(s) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_score
+FROM scored CROSS JOIN rng
+GROUP BY 1
+""")
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M+ eval: reliability diagram / calibration table — the score
+    range (here n_chars as a proxy score vs the lang='en' label, the
+    same setup as ``q_auc``) splits into 10 equi-width bins; each bin
+    reports population, positives, positive-rate ppm and mean score.
+    Monotone pos_rate across bins = the threshold-free calibration
+    read; AUC summarizes ranking, this table shows WHERE the score is
+    (mis)calibrated.
+
+    Engine exactness: bin ids and mean scores are pure non-negative
+    integer div (half-up via the (2Σ+n) DIV 2n form — Spark DIV and
+    DuckDB // agree on non-negatives); rates are floor-ppm.
+
+    Scale shape: one ungrouped min/max aggregate broadcast as a 1-row
+    scalar (the sanctioned crossJoin form), then a single 10-group
+    map-side-combined hash aggregate — two passes total, no window,
+    no sort."""
+    scored = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    rng = scored.agg(
+        F.min("s").cast("long").alias("mn"),
+        F.max("s").cast("long").alias("mx"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.expr("CAST((s - mn) * 10 DIV (mx - mn + 1) AS BIGINT)")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.floor(F.sum("y") * 1000000.0 / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long").alias("pos_rate_ppm"),
+            F.expr(
+                "CAST((2 * sum(s) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("avg_score"),
+        )
+    )
