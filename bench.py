@@ -173,6 +173,9 @@ HEADLINE = (
     "q_kmeans_step",
     "q_nb_classify",
     "q_calibration_bins",
+    # round-4 wave 26: MaxSim late interaction, reciprocal-rank fusion
+    "q_maxsim_topk",
+    "q_rrf_fusion",
 )
 
 

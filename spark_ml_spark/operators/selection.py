@@ -988,3 +988,81 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d_milli").cast("bigint").alias("max_dim_drift_milli"),
         )
     )
+
+
+#: RRF constant (Cormack et al. 2009's k=60) — inside the integer
+#: divisor so the whole fusion is division-of-integers, zero floats
+_RRF_K = 60
+
+
+@query("q_rrf_fusion", oracle=f"""
+WITH ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    - len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                      t -> t <> 'spark')) DESC,
+           doc_id) AS r
+  FROM documents
+)
+SELECT ra.doc_id,
+       CAST(ra.r AS BIGINT)                          AS rank_a,
+       CAST(rb.r AS BIGINT)                          AS rank_b,
+       CAST(1000000 // ({_RRF_K} + ra.r)
+            + 1000000 // ({_RRF_K} + rb.r) AS BIGINT) AS rrf_micro
+FROM ra JOIN rb USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 20
+""")
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/N4: reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-
+    search combiner: two independent rankings (a length-based proxy for
+    a dense ranking; term-frequency of the query token 'spark' for the
+    sparse/BM25 side) fuse by Σ 1/(60 + rank), and the top-20 fused
+    docs emerge. RRF is THE production merge for dense+sparse retrieval
+    because it needs no score calibration between systems — only ranks.
+
+    Engine exactness: fused scores are exact integers — micro-RRF is
+    ``1000000 DIV (60 + rank)``, pure non-negative integer division in
+    both engines; no floats anywhere.
+
+    Scale shape: each ranking is the two-phase ``api.global_rank``
+    (range repartition + broadcast offsets — no single-partition
+    window); the fusion is one equi-join on doc_id followed by
+    TakeOrderedAndProject. At 100 TB the upstream systems emit top-K
+    candidate lists instead of full rankings — the same join+fuse plan
+    over K rows."""
+    from spark_ml_spark.api import global_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t == "spark",
+            )
+        ).cast("long").alias("qtf"),
+    )
+    ra = global_rank(
+        docs.select("doc_id", (-F.col("n_chars")).alias("neg")),
+        ["neg", "doc_id"], rank_col="r",
+    ).select("doc_id", F.col("r").alias("rank_a"))
+    rb = global_rank(
+        docs.select("doc_id", (-F.col("qtf")).alias("neg")),
+        ["neg", "doc_id"], rank_col="r",
+    ).select("doc_id", F.col("r").alias("rank_b"))
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        F.col("rank_a").cast("long"),
+        F.col("rank_b").cast("long"),
+        F.expr(
+            f"CAST(1000000 DIV ({_RRF_K} + rank_a)"
+            f" + 1000000 DIV ({_RRF_K} + rank_b) AS BIGINT)"
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)

@@ -559,3 +559,96 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+#: MaxSim multi-vector view: 8 sub-vectors of 8 dims over the 64-dim
+#: embedding (the ColBERT late-interaction decomposition applied to the
+#: fixture's single-vector column; production token-level multi-vectors
+#: land in the same (id, sub, dim, coord) long layout)
+_MS_SUBS = 8
+_MS_SUBDIM = 8
+
+
+@query("q_maxsim_topk", oracle=f"""
+WITH pts AS (
+  SELECT vec_id,
+         dd.i // {_MS_SUBDIM}      AS sub,
+         dd.i % {_MS_SUBDIM}       AS p,
+         CAST(floor(embedding[dd.i + 1] * 1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range({_MS_SUBS * _MS_SUBDIM})) AS i) dd
+),
+q AS (SELECT sub AS qsub, p, x AS qx FROM pts WHERE vec_id = 0),
+dots AS (
+  SELECT d.vec_id, d.sub, q.qsub,
+         CAST(sum(d.x * q.qx) AS BIGINT) AS dot
+  FROM pts d JOIN q USING (p)
+  WHERE d.vec_id <> 0
+  GROUP BY d.vec_id, d.sub, q.qsub
+),
+best AS (
+  SELECT vec_id, qsub, CAST(max(dot) AS BIGINT) AS m
+  FROM dots GROUP BY vec_id, qsub
+),
+scored AS (
+  SELECT vec_id, CAST(sum(m) AS BIGINT) AS maxsim
+  FROM best GROUP BY vec_id
+)
+SELECT vec_id, maxsim FROM scored
+ORDER BY maxsim DESC, vec_id
+LIMIT 10
+""")
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: ColBERT-style MaxSim late-interaction retrieval (Khattab &
+    Zaharia 2020) — each vector splits into 8 sub-vectors; a document's
+    score against the query (vec_id=0) is Σ over query sub-vectors of
+    the MAX dot product against any document sub-vector. Late
+    interaction preserves fine-grained matches a single pooled dot
+    product averages away; this registers the retrieval shape beside
+    the pooled baselines (``q_cosine_topk``, ``q_pq_topk``).
+
+    Engine exactness: thousandth-quantized integer coordinates, so
+    every dot/max/sum is BIGINT — hash-exact.
+
+    Scale shape: the query's 64 (sub, pos, coord) rows broadcast; the
+    document stream joins on the within-sub position key (a broadcast
+    hash join with a bounded 8-way fanout — one row per query sub),
+    then reduces with map-side combine through two bounded hash
+    aggregates (dots → per-sub max → per-doc sum) into
+    TakeOrderedAndProject. No pairwise doc×doc work, no nested loop;
+    at 100 TB docs this is one linear pass, and a production deployment
+    puts an IVF/PQ candidate filter (the registered ``q_ivf_topk`` /
+    ``q_pq_topk`` shapes) in front of the same MaxSim verify."""
+    pts = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    to_double_array("embedding"),
+                    lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+                )
+            ).alias("i", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("i") / _MS_SUBDIM).cast("long").alias("sub"),
+            (F.col("i") % _MS_SUBDIM).alias("p"),
+            "x",
+        )
+    )
+    q = pts.filter(F.col("vec_id") == 0).select(
+        F.col("sub").alias("qsub"), "p", F.col("x").alias("qx")
+    )
+    dots = (
+        pts.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "p")
+        .groupBy("vec_id", "sub", "qsub")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("long").alias("dot"))
+    )
+    best = dots.groupBy("vec_id", "qsub").agg(
+        F.max("dot").cast("long").alias("m")
+    )
+    scored = best.groupBy("vec_id").agg(
+        F.sum("m").cast("long").alias("maxsim")
+    )
+    return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)

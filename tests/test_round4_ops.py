@@ -1,0 +1,177 @@
+"""Structural invariants for the round-4 operator waves — properties the
+oracle differential can't express (it only proves Spark == DuckDB; these
+pin that BOTH are computing the intended quantity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import collect
+
+_QUERIES, _ = collect()
+
+
+def test_kmeans_step_reduces_inertia(spark, sf_dir):
+    """Lloyd's algorithm guarantee: total inertia after (update →
+    re-assign) is <= inertia of the initial assignment. The registered
+    query returns post-step inertia; recompute the pre-step assignment
+    inertia here from the same quantized points and compare."""
+    from spark_ml_spark.operators.clustering import _K
+
+    out = _QUERIES["q_kmeans_step"](spark, sf_dir)
+    post = out.agg(F.sum("inertia")).first()[0]
+
+    # pre-step: assign to the init centroids (vectors 0..K-1) and sum
+    pts = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda x: (F.floor(x * 1000 + F.lit(0.5)) + 1000)
+                    .cast("long"),
+                )
+            ).alias("pos", "x"),
+        )
+        .select("vec_id", (F.col("pos") + 1).alias("d"), "x")
+    )
+    c0 = pts.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("k"), "d", F.col("x").alias("c")
+    )
+    pre = (
+        pts.join(F.broadcast(c0), "d")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long").alias("dist")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("dist"))
+        .agg(F.sum("dist"))
+        .first()[0]
+    )
+    assert post <= pre, (post, pre)
+    # all points assigned exactly once
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert out.agg(F.sum("n_points")).first()[0] == n_vec
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark, sf_dir):
+    """The corpus's lowest doc_id (that emits any gram) can only contain
+    first-occurrence grams — its novelty must be exactly 1e6 ppm."""
+    out = _QUERIES["q_ngram_novelty"](spark, sf_dir)
+    first = out.orderBy("doc_id").first()
+    assert first.novelty_ppm == 1_000_000
+    assert first.novel_grams == first.total_grams
+    # novelty is a proper fraction everywhere
+    bad = out.filter(
+        (F.col("novel_grams") > F.col("total_grams"))
+        | (F.col("novelty_ppm") > 1_000_000)
+    ).count()
+    assert bad == 0
+
+
+def test_vocab_coverage_is_monotone(spark, sf_dir):
+    """Coverage must be non-decreasing in the budget k and reach 100%
+    of occurrences once k >= |vocab| (the fixture vocab is < 4096)."""
+    rows = _QUERIES["q_vocab_coverage"](spark, sf_dir).orderBy("k").collect()
+    covered = [r.covered_tokens for r in rows]
+    assert covered == sorted(covered)
+    assert rows[-1].covered_ppm == 1_000_000
+    assert rows[-1].n_tokens_used == rows[-1].n_tokens_used  # present
+    # each doubling of k can at most double n_tokens_used
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens_used <= 2 * max(a.n_tokens_used, 1)
+
+
+def test_rrf_fusion_score_bounds(spark, sf_dir):
+    """Micro-RRF of two rank-1 placements is the max possible score;
+    every fused score must be positive and within it, and ranks must be
+    valid 1..N permut* values."""
+    from spark_ml_spark.operators.selection import _RRF_K
+
+    out = _QUERIES["q_rrf_fusion"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    max_score = 2 * (1_000_000 // (_RRF_K + 1))
+    for r in out:
+        assert 0 < r.rrf_micro <= max_score
+        assert 1 <= r.rank_a <= n_docs
+        assert 1 <= r.rank_b <= n_docs
+    # output is sorted by fused score desc
+    scores = [r.rrf_micro for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """Per entity: exactly one open interval (NULL valid_to), intervals
+    are disjoint and ordered (each valid_to equals the next
+    valid_from), and interval count == number of value change points."""
+    out = _QUERIES["q_scd2_intervals"](spark, sf_dir)
+    opens = (
+        out.groupBy("user_id")
+        .agg(F.sum(F.col("valid_to_us").isNull().cast("int")).alias("n_open"))
+        .filter(F.col("n_open") != 1)
+        .count()
+    )
+    assert opens == 0
+    # adjacency: lead(valid_from) == valid_to within each user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    gaps = (
+        out.withColumn("nxt", F.lead("valid_from_us").over(w))
+        .filter(
+            F.col("nxt").isNotNull() & (F.col("nxt") != F.col("valid_to_us"))
+        )
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_geo_knn_join_distance_is_locally_minimal(spark, sf_dir):
+    """Spot-check the grid-bounded kNN semantics: for every matched
+    customer, no OTHER supplier in the SAME cell (the always-searched
+    center cell) is strictly closer than the reported neighbor."""
+    from spark_ml_spark.operators.geo import _KNN_G, _with_coords
+
+    out = _QUERIES["q_geo_knn_join"](spark, sf_dir)
+    cust = _with_coords(load(spark, sf_dir, "customer"), "c_custkey", "geoc:")
+    sup = _with_coords(load(spark, sf_dir, "supplier"), "s_suppkey", "geos:")
+
+    def cellify(df):
+        return df.select(
+            "k", "lat_e4", "lon_e4",
+            F.expr(f"((lon_e4 + 1800000) * {_KNN_G}) DIV 3600001").alias("cx"),
+            F.expr(f"((lat_e4 + 900000) * {_KNN_G}) DIV 1800001").alias("cy"),
+        )
+
+    cands = (
+        cellify(cust).withColumnRenamed("k", "c_custkey")
+        .join(
+            cellify(sup)
+            .withColumnRenamed("k", "s_k")
+            .withColumnRenamed("lat_e4", "s_lat")
+            .withColumnRenamed("lon_e4", "s_lon"),
+            ["cx", "cy"],
+        )
+        .select(
+            "c_custkey",
+            (
+                (F.col("lat_e4") - F.col("s_lat"))
+                * (F.col("lat_e4") - F.col("s_lat"))
+                + (F.col("lon_e4") - F.col("s_lon"))
+                * (F.col("lon_e4") - F.col("s_lon"))
+            ).alias("d2c"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("d2c").alias("best_same_cell"))
+    )
+    violations = (
+        out.join(cands, "c_custkey")
+        .filter(F.col("best_same_cell") < F.col("d2"))
+        .count()
+    )
+    assert violations == 0
