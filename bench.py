@@ -176,6 +176,9 @@ HEADLINE = (
     # round-4 wave 26: MaxSim late interaction, reciprocal-rank fusion
     "q_maxsim_topk",
     "q_rrf_fusion",
+    # round-4 wave 27: salted-join skew mitigation, l-diversity audit
+    "q_salted_join",
+    "q_l_diversity",
 )
 
 

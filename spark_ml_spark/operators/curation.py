@@ -1210,3 +1210,60 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOP)
     )
+
+
+#: l-diversity threshold (Machanavajjhala et al. 2007's running example)
+_LDIV_L = 3
+
+
+@query("q_l_diversity", oracle="""
+WITH qi AS (
+  SELECT event_type,
+         CAST(epoch(ts) AS BIGINT) // 86400 AS day_bucket,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+         CAST(count(*) AS BIGINT)                AS grp
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)  AS n_groups,
+       CAST(sum(grp) AS BIGINT)  AS n_rows,
+       CAST(min(n_sensitive) AS BIGINT) AS l_min,
+       CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(sum(CASE WHEN n_sensitive < 3 THEN grp ELSE 0 END) AS BIGINT)
+         AS rows_below_l
+FROM qi GROUP BY event_type
+""")
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    homogeneity-attack complement of ``q_k_anonymity``: a QI class can
+    satisfy k-anonymity yet leak its members' sensitive value when
+    every row in the class SHARES that value. Per (event_type, day)
+    quasi-identifier class, count DISTINCT sensitive values (user_id
+    stands in); classes with fewer than l=3 distinct values are the
+    leakage surface a release must generalize away.
+
+    Scale shape: one aggregation over the QI key computing
+    count-distinct via the two-phase expand (map-side partials), then
+    a per-type rollup over class-sized data — the count-of-counts
+    discipline; all BIGINT."""
+    qi = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("day_bucket"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_sensitive"),
+            F.count(F.lit(1)).cast("long").alias("grp"),
+        )
+    )
+    below = F.col("n_sensitive") < _LDIV_L
+    return qi.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        F.min("n_sensitive").cast("long").alias("l_min"),
+        F.sum(below.cast("long")).cast("long").alias("groups_below_l"),
+        F.sum(F.when(below, F.col("grp")).otherwise(0)).cast("long")
+        .alias("rows_below_l"),
+    )

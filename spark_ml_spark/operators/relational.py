@@ -2134,3 +2134,57 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
     )
+
+
+#: salt fan-out for the skew-mitigation join demo — production sizes
+#: this to ceil(hot-key rows / target partition rows)
+_SALT_S = 8
+
+
+@query("q_salted_join", oracle="""
+SELECT c.c_mktsegment                       AS mktsegment,
+       CAST(count(*) AS BIGINT)             AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""")
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J+ skew mitigation: the SALTED JOIN pattern, result-checked
+    against the plain join (the oracle runs the unsalted SQL — equality
+    IS the correctness proof of the rewrite). The fact side adds a
+    deterministic salt (event_id % S); the dimension side replicates
+    each row into all S salt values; the join key becomes
+    (user_id, salt), splitting every hot key's rows across S shuffle
+    partitions. A ``merge`` hint forces the sort-merge path so the plan
+    genuinely exchanges by the salted key — at fixture scale Catalyst
+    would otherwise broadcast the dim and the demo would show nothing.
+
+    Scale shape: this is the mitigation ``q_skew_profile`` triggers
+    when AQE's skew-join split isn't available (e.g. the skewed side
+    feeds a window) — the dim side grows S×, the fact side not at all,
+    and each shuffle partition's share of a hot key drops to 1/S. The
+    aggregation's distinct counts re-shuffle by the ORIGINAL key, so
+    results are provably salt-invariant."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.col("event_id") % _SALT_S).alias("salt"),
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.explode(F.array(*[F.lit(i) for i in range(_SALT_S)]))
+            .alias("salt"),
+        )
+    )
+    joined = ev.join(
+        dim.hint("merge"),
+        (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )

@@ -175,3 +175,16 @@ def test_geo_knn_join_distance_is_locally_minimal(spark, sf_dir):
         .count()
     )
     assert violations == 0
+
+
+def test_salted_join_exchanges_on_salted_key(spark, sf_dir):
+    """The skew-mitigation demo must actually exchange by (key, salt):
+    a SortMergeJoin whose join keys include the salt column — not a
+    broadcast that would make the salting dead code."""
+    plan = _QUERIES["q_salted_join"](spark, sf_dir)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    import re
+
+    m = re.search(r"SortMergeJoin \[([^\]]*)\]", plan)
+    assert m and "salt" in m.group(1), m.group(0) if m else plan[:400]
