@@ -179,6 +179,9 @@ HEADLINE = (
     # round-4 wave 27: salted-join skew mitigation, l-diversity audit
     "q_salted_join",
     "q_l_diversity",
+    # round-4 wave 28: basket association rules, gaps-and-islands
+    "q_assoc_rules",
+    "q_islands",
 )
 
 

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.modern_sql",
     "spark_ml_spark.operators.corpus",
     "spark_ml_spark.operators.clustering",
+    "spark_ml_spark.operators.mining",
 )
 
 

@@ -188,3 +188,33 @@ def test_salted_join_exchanges_on_salted_key(spark, sf_dir):
 
     m = re.search(r"SortMergeJoin \[([^\]]*)\]", plan)
     assert m and "salt" in m.group(1), m.group(0) if m else plan[:400]
+
+
+def test_assoc_rules_metric_identities(spark, sf_dir):
+    """Rule-metric sanity the oracle differential can't see: counts
+    nest (n_co <= min(n_ante, n_cons) <= n_baskets implied), confidence
+    never exceeds 1e6 ppm, support <= confidence (support divides by
+    the bigger denominator), and lift is positive."""
+    rows = _QUERIES["q_assoc_rules"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 40
+    for r in rows:
+        assert r.n_co <= min(r.n_ante, r.n_cons)
+        assert 0 < r.confidence_ppm <= 1_000_000
+        assert r.support_ppm <= r.confidence_ppm
+        assert r.lift_ppm > 0
+
+
+def test_islands_streaks_are_consistent(spark, sf_dir):
+    """Each streak's day count must equal its calendar span (that IS
+    the consecutiveness claim), and the top-20 must be sorted by the
+    deterministic (len desc, user, start) tie-break."""
+    rows = _QUERIES["q_islands"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    import datetime as _dt
+
+    for r in rows:
+        start = _dt.date.fromisoformat(r.streak_start)
+        end = _dt.date.fromisoformat(r.streak_end)
+        assert (end - start).days + 1 == r.streak_days
+    keys = [(-r.streak_days, r.user_id, r.streak_start) for r in rows]
+    assert keys == sorted(keys)
