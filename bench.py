@@ -182,6 +182,10 @@ HEADLINE = (
     # round-4 wave 28: basket association rules, gaps-and-islands
     "q_assoc_rules",
     "q_islands",
+    # round-4 wave 29: frequentist inference (A/B z, Welch t, chi-square)
+    "q_ab_test",
+    "q_welch_ttest",
+    "q_chisq_independence",
 )
 
 

@@ -1,0 +1,289 @@
+"""Round-4 wave-29: statistical-inference operators — the experiment-
+analysis layer every production analytics engine grows (A/B readouts,
+group-mean comparisons, categorical independence).
+
+``q_ab_test`` — two-proportion z-test: users are hash-assigned to
+variant A/B (md5 split, the ``q_hash_split`` discipline — stable under
+retries and appends, unlike the reference's unseeded ``randomSplit``,
+``Data_transform.py:155``), conversion = user emitted a ``purchase``
+event above a value threshold (so the pooled rate is interior — a
+degenerate 0/1 pooled rate has no defined z); pooled z-statistic from
+exact BIGINT counts.
+
+``q_welch_ttest`` — Welch's unequal-variance t-test of mean order value
+between 1-URGENT and 5-LOW priority orders, with the Welch–Satterthwaite
+degrees of freedom. Moments are accumulated EXACTLY (BIGINT micro-unit
+sums; DECIMAL(38,0) sums of squares) so the only floats are the final
+closed-form statistics — the engine's sum-order-independence discipline.
+
+``q_chisq_independence`` — Pearson chi-square + Cramér's V for
+independence of customer market segment × order priority over the
+orders⋈customer star join.
+
+The reference has no inference surface (``Data_transform.py`` passim);
+these extend the evaluation family (``q_auc``, ``q_spearman``,
+``q_ks_drift``) with the classical frequentist tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+@query("q_ab_test", oracle=r"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST(floor(conv_a * 1000000.0 / n_a + 0.5) AS BIGINT) AS rate_a_ppm,
+       CAST(floor(conv_b * 1000000.0 / n_b + 0.5) AS BIGINT) AS rate_b_ppm,
+       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
+       CASE WHEN abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) > 1.959964
+            THEN 1 ELSE 0 END AS significant_95
+FROM m
+""")
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test A/B readout: md5-hash variant assignment
+    (pure row-key function — stable under retries / appends / shards),
+    per-user conversion flag, pooled-variance z from exact counts.
+
+    Scale shape: ONE shuffle (the per-user conversion group-by, map-side
+    combined); the test itself is a single-row conditional aggregate —
+    four BIGINTs — so the closed-form z is computed once from exact
+    integers. Rates are ppm-quantized; z rounds to 4 dp inside the
+    driver's 6-significant-digit float window."""
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    u = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id"), variant.alias("variant"),
+                ((F.col("event_type") == "purchase")
+                 & (F.col("value") > 150.0)).cast("int").alias("p"))
+        .groupBy("user_id", "variant")
+        .agg(F.max("p").alias("conv"))
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0))
+        .cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("bigint").alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return m.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.floor(F.col("conv_a") * 1000000.0 / F.col("n_a") + F.lit(0.5))
+        .cast("bigint").alias("rate_a_ppm"),
+        F.floor(F.col("conv_b") * 1000000.0 / F.col("n_b") + F.lit(0.5))
+        .cast("bigint").alias("rate_b_ppm"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("significant_95"),
+    )
+
+
+@query("q_welch_ttest", oracle=r"""
+WITH x AS (
+  SELECT o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+g AS (
+  SELECT
+    CAST(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN pri = '1-URGENT' THEN m ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN pri = '5-LOW' THEN m ELSE 0 END) AS BIGINT) AS s2,
+    sum(CASE WHEN pri = '1-URGENT' THEN CAST(m AS HUGEINT) * m END) AS q1,
+    sum(CASE WHEN pri = '5-LOW' THEN CAST(m AS HUGEINT) * m END) AS q2
+  FROM x
+),
+v AS (
+  SELECT n1, n2, s1, s2,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+  FROM g
+)
+SELECT n1, n2,
+       round(CAST(s1 AS DOUBLE) / n1 / 1000000.0, 4) AS mean_1,
+       round(CAST(s2 AS DOUBLE) / n2 / 1000000.0, 4) AS mean_2,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(v1 / n1 + v2 / n2) , 4) AS t_stat,
+       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df_welch
+FROM v
+""")
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean order value, 1-URGENT vs
+    5-LOW priority, with Welch–Satterthwaite degrees of freedom.
+
+    Engine exactness: each price is quantized ONCE to BIGINT micro-units
+    (the repo's ppm discipline); sums are BIGINT and sums of squares
+    DECIMAL(38,0) — both EXACT and therefore independent of partial-
+    aggregation order, which a naive double sum is not. The closed-form
+    t and df are the only float math, computed once from a single-row
+    aggregate. Scale shape: one filtered scan, one map-side-combined
+    single-row conditional aggregate — no shuffle of data rows at all."""
+    m = F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    x = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(F.col("o_orderpriority").alias("pri"), m.alias("m"))
+    )
+    mdec = F.col("m").cast("decimal(19,0)")
+    g = x.agg(
+        F.sum(F.when(F.col("pri") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("pri") == "5-LOW", 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("pri") == "1-URGENT", F.col("m")).otherwise(0))
+        .cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("pri") == "5-LOW", F.col("m")).otherwise(0))
+        .cast("bigint").alias("s2"),
+        F.sum(F.when(F.col("pri") == "1-URGENT", mdec * mdec)).alias("q1"),
+        F.sum(F.when(F.col("pri") == "5-LOW", mdec * mdec)).alias("q2"),
+    )
+    v1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("q2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    se1 = v1 / F.col("n1")
+    se2 = v2 / F.col("n2")
+    return g.select(
+        "n1", "n2",
+        F.round(F.col("s1").cast("double") / F.col("n1") / 1000000.0, 4)
+        .alias("mean_1"),
+        F.round(F.col("s2").cast("double") / F.col("n2") / 1000000.0, 4)
+        .alias("mean_2"),
+        F.round(
+            (F.col("s1").cast("double") / F.col("n1")
+             - F.col("s2").cast("double") / F.col("n2"))
+            / F.sqrt(se1 + se2), 4
+        ).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+@query("q_chisq_independence", oracle=r"""
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT seg, pri, CAST(count(*) AS BIGINT) AS obs
+  FROM joined GROUP BY seg, pri
+),
+rt AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY seg),
+ct AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY pri),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_tot FROM cells),
+chi AS (
+  SELECT
+    sum((obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+        * (obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+        / (CAST(row_tot AS DOUBLE) * col_tot / n_tot)) AS chi2,
+    CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS BIGINT)
+      AS dof,
+    CAST(count(DISTINCT seg) AS BIGINT) AS n_seg,
+    CAST(count(DISTINCT pri) AS BIGINT) AS n_pri,
+    max(n_tot) AS n_tot
+  FROM cells JOIN rt USING (seg) JOIN ct USING (pri), n
+)
+SELECT round(chi2, 4) AS chi2, dof, n_tot,
+       round(sqrt(chi2 / (n_tot * (CASE WHEN n_seg < n_pri THEN n_seg
+                                        ELSE n_pri END - 1))), 4) AS cramers_v
+FROM chi
+""")
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (market segment × order
+    priority) over the star join, plus Cramér's V effect size.
+
+    Scale shape: customer is the broadcast dimension (the J1 path), the
+    cell table is |segments|×|priorities| = 25 rows after one map-side-
+    combined group-by; margins and N are aggregates OF THE CELL TABLE
+    (vocabulary-sized, broadcast back) — nothing after the first
+    aggregate is corpus-sized, and the only floats are the 25 expected-
+    count terms computed from exact BIGINTs."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("obs").cast("bigint").alias("row_tot"))
+    ct = cells.groupBy("pri").agg(F.sum("obs").cast("bigint").alias("col_tot"))
+    n = cells.agg(F.sum("obs").cast("bigint").alias("n_tot"))
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n_tot")
+    chi = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp)
+            .alias("chi2"),
+            ((F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1))
+            .cast("bigint").alias("dof"),
+            F.count_distinct("seg").cast("bigint").alias("n_seg"),
+            F.count_distinct("pri").cast("bigint").alias("n_pri"),
+            F.max("n_tot").alias("n_tot"),
+        )
+    )
+    return chi.select(
+        F.round("chi2", 4).alias("chi2"),
+        "dof",
+        "n_tot",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_tot") * (F.least("n_seg", "n_pri") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

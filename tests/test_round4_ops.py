@@ -218,3 +218,44 @@ def test_islands_streaks_are_consistent(spark, sf_dir):
         assert (end - start).days + 1 == r.streak_days
     keys = [(-r.streak_days, r.user_id, r.streak_start) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_ab_test_statistic_matches_scipy_formula(spark, sf_dir):
+    """Recompute the pooled two-proportion z from the query's own exact
+    counts in Python floats — the closed form must agree to 4 dp, and
+    the ppm rates must be the floor-half-up quantization of conv/n."""
+    r = _QUERIES["q_ab_test"](spark, sf_dir).collect()[0]
+    import math
+
+    p_a, p_b = r.conv_a / r.n_a, r.conv_b / r.n_b
+    pool = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    assert 0.0 < pool < 1.0  # interior — the threshold exists for this
+    z = (p_a - p_b) / math.sqrt(pool * (1 - pool) * (1 / r.n_a + 1 / r.n_b))
+    assert abs(z - r.z_score) < 5e-5
+    assert r.rate_a_ppm == math.floor(p_a * 1e6 + 0.5)
+    assert r.significant_95 == (1 if abs(z) > 1.959964 else 0)
+
+
+def test_welch_ttest_df_within_bounds(spark, sf_dir):
+    """Welch–Satterthwaite df must lie in [min(n1,n2)-1, n1+n2-2] and
+    the t statistic must carry the sign of mean_1 - mean_2."""
+    r = _QUERIES["q_welch_ttest"](spark, sf_dir).collect()[0]
+    assert min(r.n1, r.n2) - 1 <= r.df_welch <= r.n1 + r.n2 - 2
+    if r.mean_1 != r.mean_2:
+        import math
+
+        assert math.copysign(1, r.t_stat) == math.copysign(
+            1, r.mean_1 - r.mean_2
+        )
+
+
+def test_chisq_independence_bounds(spark, sf_dir):
+    """chi2 >= 0, dof = (5-1)*(5-1) on the fixture vocabularies, and
+    Cramér's V in [0, 1] — plus V's definition recomputed from chi2."""
+    r = _QUERIES["q_chisq_independence"](spark, sf_dir).collect()[0]
+    import math
+
+    assert r.chi2 >= 0.0
+    assert r.dof == 16
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert abs(r.cramers_v - round(math.sqrt(r.chi2 / (r.n_tot * 4)), 4)) < 5e-4
