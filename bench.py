@@ -186,6 +186,11 @@ HEADLINE = (
     "q_ab_test",
     "q_welch_ttest",
     "q_chisq_independence",
+    # round-4 wave 30: time series (ACF, CUSUM, seasonality, moving median)
+    "q_autocorr",
+    "q_cusum_changepoint",
+    "q_seasonality_index",
+    "q_moving_median",
 )
 
 

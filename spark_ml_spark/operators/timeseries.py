@@ -1,0 +1,297 @@
+"""Round-4 wave-30: time-series analytics over the daily order series —
+autocorrelation, change-point detection, seasonality, moving median.
+
+The series under test is the DAILY ORDER series derived from ``orders``
+(one row per calendar day: order count / revenue in exact micro-units).
+A day-grain series is bounded by the calendar (~2.4k rows per 7-year
+fixture span) regardless of data scale, so every statistic here is
+"corpus-sized scan → calendar-sized table → closed form": the scan is
+the only big stage, and it is a map-side-combined group-by on the date.
+
+``q_autocorr`` — sample autocorrelation at lags 1..7 as Pearson r over
+the lag-k paired series (the correlogram an anomaly dashboard plots).
+``q_cusum_changepoint`` — per-year CUSUM change-point: the day t
+maximizing |S_t − (t/T)·S_T|, the binary-segmentation statistic (Page
+1954). The argmax is taken on the INTEGER-scaled |T·S_t − t·S_T| so the
+winner is exact; ties break to the earliest day.
+``q_seasonality_index`` — day-of-week revenue index in ppm (dow mean of
+daily revenue ÷ overall mean of daily revenue).
+``q_moving_median`` — 7-day rolling exact median of daily order counts
+(full windows only, so the count is odd and the median unique).
+
+Engine exactness: counts and micro-unit revenues are BIGINT; cross
+products accumulate in DECIMAL(38,0) (exact, order-free); the only
+floats are one closed-form expression per OUTPUT row.
+
+The reference has no time-series surface (``Data_transform.py``
+passim); siblings: ``q_ewma_forecast`` (smoothing), ``q_gap_fill``
+(calendar densification), ``q_islands`` (streaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day DATE, x BIGINT) — orders per calendar day."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+
+@query("q_autocorr", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+p AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM d a JOIN lags l ON TRUE
+  JOIN d b ON b.day = a.day + CAST(l.lag AS INTEGER)
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(xa) AS BIGINT) AS s1, CAST(sum(xb) AS BIGINT) AS s2,
+         sum(CAST(xa AS HUGEINT) * xa) AS s11,
+         sum(CAST(xb AS HUGEINT) * xb) AS s22,
+         sum(CAST(xa AS HUGEINT) * xb) AS s12
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * CAST(s12 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * s2)
+             / sqrt((CAST(n_pairs AS DOUBLE) * CAST(s11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1)
+                    * (CAST(n_pairs AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2)), 4) AS acf
+FROM m ORDER BY lag
+""")
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlogram: Pearson autocorrelation of the daily order-count
+    series at lags 1..7, via an equi-join of the day table to itself on
+    ``day + lag`` (no window, no sort — a 7-way lag fan-out of a
+    calendar-sized table). Moments are exact (BIGINT sums, DECIMAL(38,0)
+    cross products) so the Pearson closed form is one float expression
+    per lag."""
+    d = _daily_counts(spark, sf_dir)
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = d.alias("a").crossJoin(F.broadcast(lags))
+    p = a.join(
+        d.alias("b"),
+        F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+    ).select("lag", F.col("a.x").alias("xa"), F.col("b.x").alias("xb"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("xa").cast("bigint").alias("s1"),
+        F.sum("xb").cast("bigint").alias("s2"),
+        F.sum(dec("xa") * dec("xa")).alias("s11"),
+        F.sum(dec("xb") * dec("xb")).alias("s22"),
+        F.sum(dec("xa") * dec("xb")).alias("s12"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2")
+    den = F.sqrt(
+        (nd * F.col("s11").cast("double")
+         - F.col("s1").cast("double") * F.col("s1"))
+        * (nd * F.col("s22").cast("double")
+           - F.col("s2").cast("double") * F.col("s2"))
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.round(num / den, 4).alias("acf"),
+    ).orderBy("lag")
+
+
+@query("q_cusum_changepoint", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT EXTRACT(year FROM day) AS yr, day,
+         CAST(row_number() OVER (PARTITION BY EXTRACT(year FROM day)
+                                 ORDER BY day) AS BIGINT) AS t,
+         CAST(sum(x) OVER (PARTITION BY EXTRACT(year FROM day)
+                           ORDER BY day) AS BIGINT) AS s_t,
+         CAST(count(*) OVER (PARTITION BY EXTRACT(year FROM day))
+              AS BIGINT) AS big_t,
+         CAST(sum(x) OVER (PARTITION BY EXTRACT(year FROM day))
+              AS BIGINT) AS s_total
+  FROM d
+),
+scored AS (
+  SELECT yr, day, big_t, s_total,
+         abs(big_t * s_t - t * s_total) AS d_scaled,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY abs(big_t * s_t - t * s_total) DESC,
+                                     day) AS rn
+  FROM w
+)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(day AS VARCHAR) AS changepoint_day,
+       CAST(d_scaled AS BIGINT) AS d_scaled,
+       round(CAST(d_scaled AS DOUBLE) / big_t, 4) AS cusum_stat
+FROM scored WHERE rn = 1 ORDER BY yr
+""")
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year CUSUM change-point over daily order counts: the day
+    maximizing |S_t − (t/T)·S_T|, computed as the INTEGER statistic
+    |T·S_t − t·S_T| so the argmax is exact; ties break to the earliest
+    day; ``cusum_stat`` is the conventional /T normalization.
+
+    Scale shape: every window partitions BY YEAR — each partition is at
+    most 366 rows no matter the data scale, so the running sums are
+    per-group sorts of calendar-bounded groups, never a global sort
+    (the ``q_islands`` discipline)."""
+    d = _daily_counts(spark, sf_dir)
+    yr = F.year("day")
+    wo = Window.partitionBy(yr).orderBy("day")
+    wa = Window.partitionBy(yr)
+    w = d.select(
+        yr.cast("bigint").alias("yr"),
+        "day",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum("x").over(wo).cast("bigint").alias("s_t"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("big_t"),
+        F.sum("x").over(wa).cast("bigint").alias("s_total"),
+    )
+    d_scaled = F.abs(
+        F.col("big_t") * F.col("s_t") - F.col("t") * F.col("s_total")
+    )
+    wr = Window.partitionBy("yr").orderBy(d_scaled.desc(), F.col("day"))
+    scored = w.select(
+        "yr", "day", "big_t", d_scaled.alias("d_scaled"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        scored.where(F.col("rn") == 1)
+        .select(
+            "yr",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.col("d_scaled").cast("bigint").alias("d_scaled"),
+            F.round(
+                F.col("d_scaled").cast("double") / F.col("big_t"), 4
+            ).alias("cusum_stat"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query("q_seasonality_index", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(rev) AS BIGINT) AS s_all
+  FROM d
+)
+SELECT dayname(day) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(floor((CAST(sum(rev) AS DOUBLE) / count(*))
+                  / (CAST(s_all AS DOUBLE) / n_all) * 1000000.0 + 0.5)
+            AS BIGINT) AS index_ppm
+FROM d, tot
+GROUP BY dayname(day), s_all, n_all
+ORDER BY dow
+""")
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of daily revenue: (dow mean of the
+    daily series ÷ overall mean) in ppm — the multiplicative seasonal
+    factor a forecaster divides out. Revenue is micro-unit BIGINT at
+    the day grain (exact, order-free); the index is one float ratio per
+    dow row, floor-half-up quantized (the repo's ppm discipline).
+
+    Scale shape: corpus scan → calendar-sized day table (map-side
+    combined) → 7-row group-by with a broadcast 1-row total."""
+    rev = F.sum(
+        F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    ).cast("bigint")
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(rev.alias("rev"))
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("rev").cast("bigint").alias("s_all"),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy(F.date_format("day", "EEEE").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.floor(
+                (F.sum("rev").cast("double") / F.count(F.lit(1)))
+                / (F.max("s_all").cast("double") / F.max("n_all"))
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint").alias("index_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query("q_moving_median", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+  GROUP BY 1
+),
+w AS (
+  SELECT day, x,
+         row_number() OVER (ORDER BY day) AS rn,
+         CAST(median(x) OVER (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS med7
+  FROM d
+)
+SELECT CAST(day AS VARCHAR) AS day, x, med7
+FROM w WHERE rn >= 7 ORDER BY day
+""")
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling median of daily order counts for 1996 (full
+    windows only, so each window holds exactly 7 values and the median
+    is the unique 4th order statistic — no even-count averaging
+    ambiguity between engines). Spark has no windowed median; the
+    Spark-first expression is ``sort_array(collect_list(x) over w)[4]``
+    — a 7-element in-row sort, not a shuffle.
+
+    Scale shape: one filtered scan → ≤366-row day table; the single
+    window is calendar-bounded (the series year), document that a
+    multi-series production variant partitions by series key exactly
+    like ``q_cusum_changepoint`` partitions by year."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    # constant partition key keeps WindowExec labeled-partitioned (the
+    # repo bans the 'No Partition Defined' shape); the partition IS the
+    # single 1996 series, ≤366 rows.
+    wo = Window.partitionBy(F.lit(1996)).orderBy("day")
+    wf = wo.rowsBetween(-6, 0)
+    w = d.select(
+        "day", "x",
+        F.row_number().over(wo).alias("rn"),
+        F.element_at(F.sort_array(F.collect_list("x").over(wf)), 4)
+        .cast("bigint").alias("med7"),
+    )
+    return (
+        w.where(F.col("rn") >= 7)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "x", "med7")
+        .orderBy("day")
+    )

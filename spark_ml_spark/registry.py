@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.clustering",
     "spark_ml_spark.operators.mining",
     "spark_ml_spark.operators.stats_tests",
+    "spark_ml_spark.operators.timeseries",
 )
 
 

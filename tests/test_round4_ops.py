@@ -259,3 +259,65 @@ def test_chisq_independence_bounds(spark, sf_dir):
     assert r.dof == 16
     assert 0.0 <= r.cramers_v <= 1.0
     assert abs(r.cramers_v - round(math.sqrt(r.chi2 / (r.n_tot * 4)), 4)) < 5e-4
+
+
+def test_autocorr_is_valid_correlation(spark, sf_dir):
+    """ACF values are correlations: |r| <= 1; the lag-k pair count can
+    never exceed n_days - k (each pair consumes a distinct start day
+    whose k-step successor exists — NOT monotone in k when the calendar
+    has gaps, a day missing at lag 1 can still pair at lag 2)."""
+    rows = _QUERIES["q_autocorr"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    assert all(abs(r.acf) <= 1.0 for r in rows)
+    from spark_ml_spark.io.sources import load
+    from pyspark.sql import functions as F
+
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d")).distinct().count()
+    )
+    for r in rows:
+        assert 0 < r.n_pairs <= n_days - r.lag
+
+
+def test_cusum_stat_matches_scaled_argmax(spark, sf_dir):
+    """cusum_stat must be d_scaled / T recomputed from the per-year day
+    counts, and the changepoint day must fall inside its year."""
+    rows = _QUERIES["q_cusum_changepoint"](spark, sf_dir).collect()
+    from spark_ml_spark.io.sources import load
+    from pyspark.sql import functions as F
+
+    big_t = {
+        r.yr: r.n
+        for r in load(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("yr"),
+                F.to_date("o_orderdate").alias("day"))
+        .groupBy("yr").agg(F.count_distinct("day").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(big_t)
+    for r in rows:
+        assert r.changepoint_day.startswith(str(r.yr))
+        assert abs(r.cusum_stat - round(r.d_scaled / big_t[r.yr], 4)) < 5e-4
+
+
+def test_seasonality_indices_average_to_unity(spark, sf_dir):
+    """The day-count-weighted mean of the dow indices is 1e6 ppm by
+    construction (each day contributes once to exactly one dow)."""
+    rows = _QUERIES["q_seasonality_index"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    n = sum(r.n_days for r in rows)
+    weighted = sum(r.index_ppm * r.n_days for r in rows) / n
+    assert abs(weighted - 1_000_000) < 100  # quantization slack only
+
+
+def test_moving_median_is_middle_order_statistic(spark, sf_dir):
+    """Recompute each 7-day median from the emitted series itself: the
+    med7 at row i must be the sorted middle of x[i-6..i]."""
+    rows = _QUERIES["q_moving_median"](spark, sf_dir).collect()
+    xs = [r.x for r in rows]
+    # rows start at rn=7; reconstruct needs the 6 warm-up days too, so
+    # only check rows whose full window lies inside the emitted range.
+    for i in range(6, len(rows)):
+        window = sorted(xs[i - 6 : i + 1])
+        assert rows[i].med7 == window[3]
