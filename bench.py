@@ -191,6 +191,10 @@ HEADLINE = (
     "q_cusum_changepoint",
     "q_seasonality_index",
     "q_moving_median",
+    # round-4 wave 31: graph structure (degrees, triangles, butterflies)
+    "q_degree_histogram",
+    "q_triangle_count",
+    "q_butterfly_count",
 )
 
 

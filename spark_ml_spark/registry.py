@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.mining",
     "spark_ml_spark.operators.stats_tests",
     "spark_ml_spark.operators.timeseries",
+    "spark_ml_spark.operators.graph_metrics",
 )
 
 

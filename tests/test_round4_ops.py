@@ -321,3 +321,37 @@ def test_moving_median_is_middle_order_statistic(spark, sf_dir):
     for i in range(6, len(rows)):
         window = sorted(xs[i - 6 : i + 1])
         assert rows[i].med7 == window[3]
+
+
+def test_degree_histogram_buckets_partition_degrees(spark, sf_dir):
+    """Bucket k must hold degrees in [2^k, 2^(k+1)) and the node total
+    must equal the graph's node count (every node in exactly one
+    bucket)."""
+    rows = _QUERIES["q_degree_histogram"](spark, sf_dir).collect()
+    for r in rows:
+        assert 2**r.bucket <= r.deg_min <= r.deg_max < 2 ** (r.bucket + 1)
+    tri = _QUERIES["q_triangle_count"](spark, sf_dir).collect()[0]
+    assert sum(r.n_nodes for r in rows) == tri.n_nodes
+
+
+def test_triangle_census_identities(spark, sf_dir):
+    """Structural identities: 3T <= W (every triangle closes exactly 3
+    wedges, no wedge closes twice), W = sum C(deg,2) is consistent with
+    2*edges = sum deg via Cauchy-Schwarz lower bound 0, and the ppm is
+    the quantized 3T/W."""
+    r = _QUERIES["q_triangle_count"](spark, sf_dir).collect()[0]
+    assert 0 <= 3 * r.n_triangles <= r.n_wedges
+    assert r.clustering_ppm == int(
+        3.0 * r.n_triangles * 1e6 / r.n_wedges + 0.5
+    )
+    assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+
+
+def test_butterfly_census_identities(spark, sf_dir):
+    """Wedges count same-part supplier pairs, so n_wedges >= n_pairs
+    implied by butterflies: B = sum C(c,2) <= C(n_wedges,2); incidence
+    bounds: n_incidence <= n_suppliers * n_parts."""
+    r = _QUERIES["q_butterfly_count"](spark, sf_dir).collect()[0]
+    assert r.n_incidence <= r.n_suppliers * r.n_parts
+    assert r.n_butterflies <= r.n_wedges * (r.n_wedges - 1) // 2
+    assert r.n_wedges >= 0 and r.n_butterflies >= 0
