@@ -199,6 +199,10 @@ HEADLINE = (
     "q_rfm_segments",
     "q_string_agg",
     "q_knn_classify",
+    # round-4 wave 33: jackknife CI, period growth, rolling distinct
+    "q_jackknife_ci",
+    "q_period_growth",
+    "q_rolling_distinct",
 )
 
 

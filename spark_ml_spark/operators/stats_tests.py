@@ -287,3 +287,110 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+
+
+@query("q_jackknife_ci", oracle=r"""
+WITH x AS (
+  SELECT CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)
+            AS BIGINT) % 32 AS g,
+         CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM orders
+),
+blk AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(m) AS BIGINT) AS s_g
+  FROM x GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM blk
+),
+loo AS (
+  SELECT b.g, (CAST(t.s - b.s_g AS DOUBLE) / (t.n - b.n_g)) AS mean_g,
+         t.n, t.s, t.n_blocks
+  FROM blk b, tot t
+),
+jk AS (
+  SELECT max(n) AS n, max(n_blocks) AS n_blocks,
+         max(CAST(s AS DOUBLE) / n) AS mean_micros,
+         (max(n_blocks) - 1.0) / max(n_blocks)
+           * sum((mean_g - (SELECT avg(mean_g) FROM loo))
+                 * (mean_g - (SELECT avg(mean_g) FROM loo))) AS var_jack
+  FROM loo
+)
+SELECT n, n_blocks,
+       round(mean_micros / 1000000.0, 4) AS mean_price,
+       round(sqrt(var_jack) / 1000000.0, 4) AS se,
+       round((mean_micros - 1.959964 * sqrt(var_jack)) / 1000000.0, 4) AS ci_lo,
+       round((mean_micros + 1.959964 * sqrt(var_jack)) / 1000000.0, 4) AS ci_hi
+FROM jk
+""")
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife confidence interval for the mean
+    order price: rows are md5-assigned to 32 blocks (pure row-key
+    function — the resampling twin of ``q_hash_split``: stable under
+    retries, appends, and partitioning, unlike RNG-based bootstrap
+    draws); each leave-one-block-out mean comes from EXACT BIGINT
+    (sum, count) differences, and the jackknife variance
+    (G−1)/G · Σ(θ₍g₎ − θ̄)² is the only float stage. This is the
+    production-shape nonparametric CI: a true bootstrap at 100 TB
+    resamples block sums, not rows — exactly these 32 (n_g, s_g)
+    partials.
+
+    Scale shape: one map-side-combined 32-row block aggregate over the
+    corpus; everything after is arithmetic on a 32-row table."""
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    g = (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % 32).alias("g")
+    m = F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    blk = (
+        load(spark, sf_dir, "orders")
+        .select(g, m.alias("m"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("m").cast("bigint").alias("s_g"),
+        )
+    )
+    tot = blk.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    loo = blk.crossJoin(F.broadcast(tot)).select(
+        "n", "s", "n_blocks",
+        ((F.col("s") - F.col("s_g")).cast("double")
+         / (F.col("n") - F.col("n_g"))).alias("mean_g"),
+    )
+    # centered-sum form, SAME as the oracle's: the uncentered
+    # Σx² − (Σx)²/G subtracts two ~1e23 numbers to get ~1e19 —
+    # catastrophic cancellation that can flip the 4th decimal between
+    # engines. Centered deviations are all ~1e18 positives; summation-
+    # order noise is 1e-16-relative, far inside the round(…, 4) window.
+    mean_bar = loo.agg(F.avg("mean_g").alias("mean_bar"))
+    dev = F.col("mean_g") - F.col("mean_bar")
+    jk = (
+        loo.crossJoin(F.broadcast(mean_bar))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_blocks").alias("n_blocks"),
+            (F.max("s").cast("double") / F.max("n")).alias("mean_micros"),
+            F.sum(dev * dev).alias("css"),
+        )
+        .select(
+            "n", "n_blocks", "mean_micros",
+            (
+                (F.col("n_blocks") - 1.0) / F.col("n_blocks") * F.col("css")
+            ).alias("var_jack"),
+        )
+    )
+    half = F.lit(1.959964) * F.sqrt(F.col("var_jack"))
+    return jk.select(
+        "n", "n_blocks",
+        F.round(F.col("mean_micros") / 1000000.0, 4).alias("mean_price"),
+        F.round(F.sqrt("var_jack") / 1000000.0, 4).alias("se"),
+        F.round((F.col("mean_micros") - half) / 1000000.0, 4).alias("ci_lo"),
+        F.round((F.col("mean_micros") + half) / 1000000.0, 4).alias("ci_hi"),
+    )

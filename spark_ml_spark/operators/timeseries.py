@@ -295,3 +295,109 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "x", "med7")
         .orderBy("day")
     )
+
+
+@query("q_period_growth", oracle=r"""
+WITH m AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(c.mon AS VARCHAR) AS mon, c.rev AS rev_micros,
+       CAST(floor((c.rev - p.rev) * 1000000.0 / p.rev + 0.5) AS BIGINT)
+         AS mom_ppm,
+       CAST(floor((c.rev - y.rev) * 1000000.0 / y.rev + 0.5) AS BIGINT)
+         AS yoy_ppm
+FROM m c
+LEFT JOIN m p ON p.mon = c.mon - INTERVAL 1 MONTH
+LEFT JOIN m y ON y.mon = c.mon - INTERVAL 12 MONTH
+ORDER BY c.mon
+""")
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth in signed ppm
+    — the period-comparison readout every revenue dashboard leads with.
+    Previous periods attach by EQUI-JOIN on the shifted month key (the
+    ``q_autocorr`` discipline: the series is calendar-sized, a lag is a
+    join, not a global-sort window); months missing a comparator yield
+    NULL growth. Revenue is exact micro-unit BIGINT; each growth ratio
+    is one quantized float per output row.
+
+    Scale shape: corpus scan → month-grain aggregate (map-side
+    combined, ≤ a few hundred rows for any data size) → two self
+    equi-joins on that tiny table."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.to_date("o_orderdate")).alias("mon"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+        .select(F.to_date("mon").alias("mon"), "rev")
+    )
+    c, p, y = m.alias("c"), m.alias("p"), m.alias("y")
+
+    def growth(prev: str) -> F.Column:
+        return F.floor(
+            (F.col("c.rev") - F.col(f"{prev}.rev")) * 1000000.0
+            / F.col(f"{prev}.rev")
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    return (
+        c.join(p, F.col("p.mon") == F.add_months(F.col("c.mon"), -1), "left")
+        .join(y, F.col("y.mon") == F.add_months(F.col("c.mon"), -12), "left")
+        .select(
+            F.date_format("c.mon", "yyyy-MM-dd").alias("mon"),
+            F.col("c.rev").alias("rev_micros"),
+            growth("p").alias("mom_ppm"),
+            growth("y").alias("yoy_ppm"),
+        )
+        .orderBy("mon")
+    )
+
+
+@query("q_rolling_distinct", oracle=r"""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_7d
+FROM days d JOIN act a ON a.aday BETWEEN d.day - 6 AND d.day
+GROUP BY d.day ORDER BY day
+""")
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the DAU/WAU
+    primitive). A windowed COUNT DISTINCT has no distributive form, so
+    the Spark-first shape is contribution EXPANSION: each (user, day)
+    activity row is flat-mapped to the 7 target days it supports
+    (``explode(sequence(day, day+6))`` — in-row, bounded ×7), target
+    days are semi-joined to real calendar days, and the count-distinct
+    runs per target day. The oracle states the equivalent range-join
+    formulation. For window widths where ×w expansion is too fat, the
+    registered mergeable-HLL path (``q_stream_hll``/``q_hll_distinct``)
+    is the approximate alternative.
+
+    Scale shape: one distinct pass (map-side combined), a ×7 in-row
+    flat map, one count-distinct shuffle keyed by day — no range join,
+    no per-day rescans."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("aday"))
+        .distinct()
+    )
+    days = act.select(F.col("aday").alias("day")).distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("aday"), F.date_add(F.col("aday"), 6))
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
+        .orderBy("day")
+    )

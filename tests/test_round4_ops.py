@@ -408,3 +408,66 @@ def test_knn_classify_vote_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.votes <= _KNN_K
         assert 0 <= r.pred_label <= 9
+
+
+def test_jackknife_ci_brackets_mean(spark, sf_dir):
+    """CI must bracket the point estimate symmetrically (half-width =
+    1.959964*se to 4dp) and the mean must equal the exact global mean
+    recomputed from micro-units."""
+    r = _QUERIES["q_jackknife_ci"](spark, sf_dir).collect()[0]
+    assert r.ci_lo <= r.mean_price <= r.ci_hi
+    assert abs((r.ci_hi - r.ci_lo) / 2 - 1.959964 * r.se) < 2e-3
+    m = (
+        load(spark, sf_dir, "orders")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    assert abs(r.mean_price - round(m.s / m.n / 1e6, 4)) < 5e-4
+    assert r.n == m.n and r.n_blocks == 32
+
+
+def test_period_growth_ppm_recompute(spark, sf_dir):
+    """MoM ppm must recompute from consecutive rev_micros values when
+    the previous calendar month exists; first month has NULL MoM; the
+    first 12 months have NULL YoY."""
+    rows = _QUERIES["q_period_growth"](spark, sf_dir).collect()
+    rev = {r.mon: r.rev_micros for r in rows}
+    import datetime as _dt
+
+    def prev_month(s, k):
+        d = _dt.date.fromisoformat(s)
+        y, m = divmod((d.year * 12 + d.month - 1) - k, 12)
+        return f"{y:04d}-{m + 1:02d}-01"
+
+    assert rows[0].mom_ppm is None and rows[0].yoy_ppm is None
+    for r in rows:
+        p = prev_month(r.mon, 1)
+        if p in rev:
+            import math
+
+            # floor(x+0.5) semantics, recomputed exactly
+            expect = math.floor((r.rev_micros - rev[p]) * 1e6 / rev[p] + 0.5)
+            assert r.mom_ppm == expect, (r.mon, r.mom_ppm, expect)
+
+
+def test_rolling_distinct_dominates_daily(spark, sf_dir):
+    """active_7d on day d must be >= the single-day distinct count of d
+    and <= total distinct users; the output covers every activity day."""
+    rows = _QUERIES["q_rolling_distinct"](spark, sf_dir).collect()
+    daily = {
+        r.day: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    total = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert {r.day for r in rows} == set(daily)
+    for r in rows:
+        assert daily[r.day] <= r.active_7d <= total
