@@ -203,6 +203,10 @@ HEADLINE = (
     "q_jackknife_ci",
     "q_period_growth",
     "q_rolling_distinct",
+    # round-4 wave 34: MAD outliers, diff-in-diff, Gini index
+    "q_mad_outliers",
+    "q_diff_in_diff",
+    "q_gini_index",
 )
 
 

@@ -394,3 +394,229 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("mean_micros") - half) / 1000000.0, 4).alias("ci_lo"),
         F.round((F.col("mean_micros") + half) / 1000000.0, 4).alias("ci_hi"),
     )
+
+
+@query("q_mad_outliers", oracle=r"""
+WITH med AS (
+  SELECT c_mktsegment AS seg, quantile_cont(c_acctbal, 0.5) AS med
+  FROM customer GROUP BY 1
+),
+dev AS (
+  SELECT c.c_mktsegment AS seg, c.c_acctbal, m.med,
+         abs(c.c_acctbal - m.med) AS adev
+  FROM customer c JOIN med m ON c.c_mktsegment = m.seg
+),
+mad AS (
+  SELECT seg, max(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY seg
+)
+SELECT d.seg, CAST(count(*) AS BIGINT) AS n,
+       round(max(m.med), 4) AS median_bal,
+       round(max(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.seg = m.seg
+GROUP BY d.seg ORDER BY d.seg
+""")
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per market segment: median absolute
+    deviation (MAD) of account balances, flagging |x − med| beyond
+    3·1.4826·MAD (the normal-consistency constant) — the robust-stats
+    complement to the quantile-clamp ``q_winsorize`` (a single wild
+    balance moves MAD not at all, unlike a stddev rule).
+
+    Engine exactness: both engines state the SAME interpolated exact
+    median (``percentile``/``quantile_cont``); inputs are parquet
+    doubles, so interpolation arithmetic is bit-identical; outlier
+    comparison happens on exact doubles and the only rounding is
+    display. Scale shape: medians are per-GROUP sorts of dimension-
+    bounded groups (5 segments × customer dim); the flag pass is one
+    broadcast join of a 5-row table onto the scan."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), "c_acctbal"
+    )
+    med = cust.groupBy("seg").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("med")
+    )
+    dev = cust.join(F.broadcast(med), "seg").select(
+        "seg", "c_acctbal", "med",
+        F.abs(F.col("c_acctbal") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("seg").agg(
+        F.max("med").alias("med2"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("med2"), 4).alias("median_bal"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3.0 * 1.4826 * F.col("mad"))
+                .cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query("q_diff_in_diff", oracle=r"""
+WITH x AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events
+),
+c AS (
+  SELECT variant, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS s
+  FROM x GROUP BY 1, 2
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 'A' AND period = 'pre'  THEN CAST(s AS DOUBLE) / n END) AS a_pre,
+    max(CASE WHEN variant = 'A' AND period = 'post' THEN CAST(s AS DOUBLE) / n END) AS a_post,
+    max(CASE WHEN variant = 'B' AND period = 'pre'  THEN CAST(s AS DOUBLE) / n END) AS b_pre,
+    max(CASE WHEN variant = 'B' AND period = 'post' THEN CAST(s AS DOUBLE) / n END) AS b_post,
+    CAST(sum(n) AS BIGINT) AS n_events
+  FROM c
+)
+SELECT n_events,
+       round(a_pre / 1000000.0, 4) AS a_pre,
+       round(a_post / 1000000.0, 4) AS a_post,
+       round(b_pre / 1000000.0, 4) AS b_pre,
+       round(b_post / 1000000.0, 4) AS b_post,
+       round(((a_post - a_pre) - (b_post - b_pre)) / 1000000.0, 4) AS did
+FROM w
+""")
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences point estimate of event value: users
+    md5-assigned to variants A/B (stable row-key assignment), periods
+    split at mid-month; DiD = (Ā_post − Ā_pre) − (B̄_post − B̄_pre).
+    The causal-inference readout that corrects an A/B delta for a
+    shared time trend.
+
+    Engine exactness: the four cell means come from exact BIGINT
+    micro-unit (sum, count) pairs — one conditional aggregate row; the
+    DiD combination is the only float stage. Scale shape: one map-side-
+    combined 4-cell aggregate over the corpus; no shuffle of data
+    rows."""
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    period = F.when(
+        F.to_date("ts") <= F.lit("2024-01-15").cast("date"), "pre"
+    ).otherwise("post")
+    m = F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    c = (
+        load(spark, sf_dir, "events")
+        .select(variant.alias("variant"), period.alias("period"), m.alias("m"))
+        .groupBy("variant", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("m").cast("bigint").alias("s"),
+        )
+    )
+
+    def cell(v: str, p: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("variant") == v) & (F.col("period") == p),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    w = c.agg(
+        cell("A", "pre").alias("a_pre"),
+        cell("A", "post").alias("a_post"),
+        cell("B", "pre").alias("b_pre"),
+        cell("B", "post").alias("b_post"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return w.select(
+        "n_events",
+        F.round(F.col("a_pre") / 1000000.0, 4).alias("a_pre"),
+        F.round(F.col("a_post") / 1000000.0, 4).alias("a_post"),
+        F.round(F.col("b_pre") / 1000000.0, 4).alias("b_pre"),
+        F.round(F.col("b_post") / 1000000.0, 4).alias("b_post"),
+        F.round(
+            ((F.col("a_post") - F.col("a_pre"))
+             - (F.col("b_post") - F.col("b_pre"))) / 1000000.0,
+            4,
+        ).alias("did"),
+    )
+
+
+@query("q_gini_index", oracle=r"""
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS monet
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT monet,
+         CAST(row_number() OVER (ORDER BY monet, custkey) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM m
+),
+g AS (
+  SELECT max(n) AS n, CAST(sum(monet) AS BIGINT) AS total,
+         sum(CAST(i AS HUGEINT) * monet) AS iw
+  FROM r
+)
+SELECT n, total AS total_micros,
+       CAST(floor((2.0 * CAST(iw AS DOUBLE)
+                   - (n + 1.0) * CAST(total AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS gini_ppm
+FROM g
+""")
+def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of customer lifetime spend:
+    G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over spend sorted ascending —
+    the inequality readout (is 80% of revenue in 20% of customers?)
+    that decides skew-mitigation strategy upstream.
+
+    Engine exactness: spend is micro-unit BIGINT; ranks come from
+    ``api.global_rank`` with a (monet, custkey) total order; the
+    rank-weighted sum Σ i·xᵢ accumulates in DECIMAL(38,0)/HUGEINT
+    (exact, order-free); ONE quantized float ratio at the end.
+
+    Scale shape: corpus → customer-dimension aggregate (one shuffle);
+    the rank is the two-phase range-partition rank (no single-partition
+    window); the weighted sum is a map-side-combined single-row
+    aggregate."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("monet")
+        )
+    )
+    from spark_ml_spark import api
+
+    r = api.global_rank(m, ["monet", "custkey"], rank_col="i", total_col="n")
+    g = r.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("monet").cast("bigint").alias("total"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("monet")).alias("iw"),
+    )
+    return g.select(
+        "n",
+        F.col("total").alias("total_micros"),
+        F.floor(
+            (2.0 * F.col("iw").cast("double")
+             - (F.col("n") + F.lit(1.0)) * F.col("total").cast("double"))
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("bigint").alias("gini_ppm"),
+    )

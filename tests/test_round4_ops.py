@@ -471,3 +471,32 @@ def test_rolling_distinct_dominates_daily(spark, sf_dir):
     assert {r.day for r in rows} == set(daily)
     for r in rows:
         assert daily[r.day] <= r.active_7d <= total
+
+
+def test_mad_outliers_robustness_identities(spark, sf_dir):
+    """Per segment: MAD >= 0, outlier count < n/2 (MAD is a robust
+    scale — at most half the data can sit beyond any multiple of it
+    only degenerately), and segment n's sum to the customer count."""
+    rows = _QUERIES["q_mad_outliers"](spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n for r in rows) == n_cust
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n / 2
+
+
+def test_diff_in_diff_is_cell_combination(spark, sf_dir):
+    """DiD must recompute from the four reported cell means to 4dp."""
+    r = _QUERIES["q_diff_in_diff"](spark, sf_dir).collect()[0]
+    did = (r.a_post - r.a_pre) - (r.b_post - r.b_pre)
+    assert abs(did - r.did) < 5e-4
+    assert r.n_events == load(spark, sf_dir, "events").count()
+
+
+def test_gini_index_bounds_and_scale_invariance(spark, sf_dir):
+    """Gini of a non-negative distribution lies in [0, 1e6) ppm; with n
+    customers all having positive spend it is also < (n-1)/n * 1e6."""
+    r = _QUERIES["q_gini_index"](spark, sf_dir).collect()[0]
+    assert 0 <= r.gini_ppm < 1_000_000
+    assert r.gini_ppm < (r.n - 1) / r.n * 1_000_000
+    assert r.total_micros > 0
