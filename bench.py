@@ -207,6 +207,10 @@ HEADLINE = (
     "q_mad_outliers",
     "q_diff_in_diff",
     "q_gini_index",
+    # round-4 wave 35: event trigrams, conversion latency, negative sampling
+    "q_event_trigrams",
+    "q_time_to_convert",
+    "q_negative_sample",
 )
 
 

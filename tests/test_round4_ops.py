@@ -500,3 +500,49 @@ def test_gini_index_bounds_and_scale_invariance(spark, sf_dir):
     assert 0 <= r.gini_ppm < 1_000_000
     assert r.gini_ppm < (r.n - 1) / r.n * 1_000_000
     assert r.total_micros > 0
+
+
+def test_event_trigrams_counts_consistent(spark, sf_dir):
+    """Total trigram instances across ALL patterns (recomputed without
+    the top-20 cut) must equal sum over users of max(0, n_events - 2);
+    the emitted top-20 is sorted by (n desc, lexicographic)."""
+    rows = _QUERIES["q_event_trigrams"](spark, sf_dir).collect()
+    keys = [(-r.n, r.e1, r.e2, r.e3) for r in rows]
+    assert keys == sorted(keys)
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    expect_total = sum(max(0, r.c - 2) for r in per_user)
+    # recompute the full trigram total independently
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    full = (
+        load(spark, sf_dir, "events")
+        .select(F.lead("event_type", 2).over(w).alias("e3"))
+        .where(F.col("e3").isNotNull())
+        .count()
+    )
+    assert full == expect_total
+
+
+def test_time_to_convert_percentiles_ordered(spark, sf_dir):
+    """p50 <= p90, converters <= users, and both percentiles are
+    non-negative (delta is constrained positive)."""
+    r = _QUERIES["q_time_to_convert"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_converted <= r.n_users
+    assert 0 <= r.p50_sec <= r.p90_sec
+
+
+def test_negative_sample_histogram_accounts_everyone(spark, sf_dir):
+    """Histogram masses sum to the number of ordering customers and
+    n_neg never exceeds the slot budget."""
+    from spark_ml_spark.operators.behavior import _NEG_K
+
+    rows = _QUERIES["q_negative_sample"](spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(0 <= r.n_neg <= _NEG_K for r in rows)

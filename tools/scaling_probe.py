@@ -81,6 +81,21 @@ SHOW = (
     "q_maxsim_topk", "q_rrf_fusion",
     # round-4 wave 27: salted join, l-diversity
     "q_salted_join", "q_l_diversity",
+    # round-4 wave 28: association rules, gaps-and-islands
+    "q_assoc_rules", "q_islands",
+    # round-4 wave 29: frequentist inference
+    "q_ab_test", "q_welch_ttest", "q_chisq_independence",
+    # round-4 wave 30: time series
+    "q_autocorr", "q_cusum_changepoint", "q_seasonality_index",
+    "q_moving_median",
+    # round-4 wave 31: graph structure
+    "q_degree_histogram", "q_triangle_count", "q_butterfly_count",
+    # round-4 wave 32: RFM, string agg, kNN classify
+    "q_rfm_segments", "q_string_agg", "q_knn_classify",
+    # round-4 wave 33: jackknife, period growth, rolling distinct
+    "q_jackknife_ci", "q_period_growth", "q_rolling_distinct",
+    # round-4 wave 34: MAD outliers, DiD, Gini
+    "q_mad_outliers", "q_diff_in_diff", "q_gini_index",
 )
 
 
