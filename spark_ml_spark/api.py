@@ -21,6 +21,28 @@ from spark_ml_spark.functions.vector import cosine, to_double_array
 # --------------------------------------------------------------------------
 
 
+def one_partition(col: Column | str) -> Column:
+    """A constant-valued but NON-FOLDABLE partition key: pins a window
+    that runs on a bounded (vocabulary/calendar-sized) table to one
+    partition WITHOUT tripping 'WindowExec: No Partition Defined'.
+
+    ``Window.partitionBy(F.lit(0))`` does NOT silence that warning:
+    Catalyst constant-folds the literal away, leaving an EMPTY
+    partition spec (observed in the r4 scaling-probe logs — 73 warning
+    lines from lit(0) sites), and ``col * 0`` is no better —
+    ``ReorderAssociativeOperator`` folds multiply-by-zero too.
+    ``coalesce(pmod(crc32(cast(col as string)), 1), 0)`` evaluates to 0
+    for every row (including NULL input) but no optimizer rule
+    simplifies a pmod-by-one, so the spec survives to the physical plan
+    and the warning — which this repo treats as a real corpus-sized-
+    window signal — stays meaningful. Use ONLY on frames bounded by
+    design."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.pmod(F.crc32(c.cast("string")), F.lit(1)), F.lit(0)
+    )
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Exact dedup via content-digest group-by: one row per distinct
     content, keeping the lowest id. Shuffles 16-byte digests, never

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from spark_ml_spark.api import global_rank
 from spark_ml_spark.io.sources import load
+from spark_ml_spark import api
 from spark_ml_spark.registry import query
 
 #: novelty gram width — deliberately ≠ q_substring_dedup's 8 so the two
@@ -258,7 +259,7 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").cast("long").alias("mass"),
         )
     )
-    w = Window.partitionBy(F.lit(0)).orderBy("octave")
+    w = Window.partitionBy(api.one_partition("octave")).orderBy("octave")
     return agg.select(
         F.col("octave").cast("long"),
         "n_tokens",

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from spark_ml_spark.functions.vector import cosine, to_double_array
 from spark_ml_spark.io.sources import load
+from spark_ml_spark import api
 from spark_ml_spark.registry import query
 
 #: vocabulary size cut (top-K by term frequency)
@@ -374,7 +375,7 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary, so single-partition is the DESIGN; the lit(0) key only
     # silences 'WindowExec: No Partition Defined' so that warning stays a
     # real signal for corpus-sized windows (VERDICT r3 wrong-#3)
-    wv = Window.partitionBy(F.lit(0)).orderBy(F.col("tf").desc(), "token")
+    wv = Window.partitionBy(api.one_partition("token")).orderBy(F.col("tf").desc(), "token")
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))

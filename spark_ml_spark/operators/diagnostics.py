@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_ml_spark.io.sources import load
+from spark_ml_spark import api
 from spark_ml_spark.registry import query
 
 
@@ -401,9 +402,9 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # HISTOGRAM (bounded distinct grid values, not corpus rows), so
         # single-partition is the design; the key silences the WindowExec
         # warning so it stays a signal for corpus-sized windows
-        F.sum("a").over(W.partitionBy(F.lit(0)).orderBy("v"))
+        F.sum("a").over(W.partitionBy(api.one_partition("v")).orderBy("v"))
         .cast("bigint").alias("ca"),
-        F.sum("b").over(W.partitionBy(F.lit(0)).orderBy("v"))
+        F.sum("b").over(W.partitionBy(api.one_partition("v")).orderBy("v"))
         .cast("bigint").alias("cb"),
     )
     tot = hist.agg(
@@ -420,7 +421,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = gaps.withColumn(
         "rk",
         F.row_number().over(
-            W.partitionBy(F.lit(0)).orderBy(F.col("d2").desc(), "v")
+            W.partitionBy(api.one_partition("v")).orderBy(F.col("d2").desc(), "v")
         ),
     ).filter(F.col("rk") == 1)
     return best.select(

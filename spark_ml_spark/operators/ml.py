@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_spark.io.sources import load
+from spark_ml_spark import api
 from spark_ml_spark.registry import query
 
 #: fixed feature vocabulary (the ``familias.txt`` analogue) — passed
@@ -478,7 +479,7 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # distinct scores), single-partition by design — silences the
             # WindowExec warning without changing the plan shape
             F.sum("n_s").over(
-                W.partitionBy(F.lit(0))
+                W.partitionBy(api.one_partition("s"))
                 .orderBy("s")
                 .rowsBetween(W.unboundedPreceding, -1)
             ),
@@ -585,7 +586,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.coalesce(
                 # lit(0) key: value-histogram window (bounded), see q_auc
                 F.sum("n_v").over(
-                    W.partitionBy(F.lit(0))
+                    W.partitionBy(api.one_partition(col))
                     .orderBy(col)
                     .rowsBetween(W.unboundedPreceding, -1)
                 ),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_ml_spark.io.sources import load
+from spark_ml_spark import api
 from spark_ml_spark.registry import query
 
 
@@ -282,7 +283,7 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant partition key keeps WindowExec labeled-partitioned (the
     # repo bans the 'No Partition Defined' shape); the partition IS the
     # single 1996 series, ≤366 rows.
-    wo = Window.partitionBy(F.lit(1996)).orderBy("day")
+    wo = Window.partitionBy(api.one_partition("day")).orderBy("day")
     wf = wo.rowsBetween(-6, 0)
     w = d.select(
         "day", "x",
