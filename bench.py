@@ -211,6 +211,10 @@ HEADLINE = (
     "q_event_trigrams",
     "q_time_to_convert",
     "q_negative_sample",
+    # round-4 wave 36: weighted median, share-of-total, imputation audit
+    "q_weighted_median",
+    "q_share_of_total",
+    "q_impute_mean",
 )
 
 

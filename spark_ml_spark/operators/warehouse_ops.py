@@ -1,0 +1,227 @@
+"""Round-4 wave-36: warehouse analytics staples — weighted median,
+share-of-total ratios, deterministic mean imputation.
+
+``q_weighted_median`` — per return-flag weighted median of extended
+price with line quantity as the frequency weight: Spark's
+``percentile(col, p, frequency)`` computes over the weight-expanded
+multiset; the oracle UNNESTS each row ``quantity`` times and takes
+``quantile_cont`` over the same multiset — identical interpolation
+semantics stated two ways.
+
+``q_share_of_total`` — RATIO_TO_REPORT surface: each nation's revenue
+share within its region in ppm, from exact micro-unit sums at both
+grains.
+
+``q_impute_mean`` — deterministic missing-data repair AUDIT: an md5
+mask (~2/16 of rows) simulates missingness, survivors provide exact
+per-segment micro-unit means, masked rows are imputed with their
+segment mean. Since mean imputation makes the repaired mean equal the
+survivor mean BY CONSTRUCTION, the informative output is the
+IMPUTATION BIAS — repaired (=survivor) mean minus the ground-truth
+mean the simulation still knows. The mask is a pure row-key function —
+the same rows are "missing" on every retry, shard, and engine.
+
+The reference has none of these surfaces (``Data_transform.py``
+passim); siblings: ``q_percentiles`` (unweighted), ``q_l1_normalize``
+(row-grain shares), ``q_dq_report`` (missingness detection — this is
+the repair step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import query
+
+
+@query("q_weighted_median", oracle=r"""
+WITH x AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE l_quantity >= 1
+),
+expanded AS (
+  SELECT flag, price, unnest(range(w)) AS i FROM x
+),
+cnt AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n_lines FROM x GROUP BY 1
+)
+SELECT e.flag, c.n_lines,
+       round(quantile_cont(e.price, 0.5), 4) AS wmedian_price
+FROM expanded e JOIN cnt c ON e.flag = c.flag
+GROUP BY e.flag, c.n_lines
+ORDER BY e.flag
+""")
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag —
+    the weighted-percentile surface (e.g. "median unit price by volume,
+    not by line"). Spark states it natively as
+    ``percentile(price, 0.5, frequency=quantity)``; the oracle expands
+    each line ``quantity`` times and takes the continuous median of the
+    identical multiset.
+
+    Scale shape: ONE map-side-combined aggregate per flag group —
+    the frequency argument means the multiset is never materialized
+    (the oracle's unnest is the semantic spec, not the plan). Weights
+    are BIGINT; the only float is the interpolated median itself."""
+    x = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 1)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    return (
+        x.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.percentile("price", F.lit(0.5), F.col("w")), 4
+            ).alias("wmedian_price"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query("q_share_of_total", oracle=r"""
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         CAST(sum(CAST(floor(o.o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region AS rg, CAST(sum(rev) AS BIGINT) AS reg_rev
+        FROM rev GROUP BY 1)
+SELECT region, nation, rev AS rev_micros,
+       CAST(floor(rev * 1000000.0 / reg_rev + 0.5) AS BIGINT) AS share_ppm
+FROM rev JOIN reg ON rev.region = reg.rg
+ORDER BY region, nation
+""")
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: each nation's revenue share of its region in
+    ppm — the share-of-total readout that an OLAP window
+    ``ratio_to_report() OVER (PARTITION BY region)`` states; here the
+    denominators come from a second grouped aggregate of the tiny
+    nation-grain table re-joined by region key (dimension-sized — no
+    window over the fact stream at all).
+
+    Scale shape: the fact scan shuffles ONCE (group by nation via two
+    broadcast dims); everything after is arithmetic on ≤25 rows. All
+    sums exact micro-unit BIGINT; one quantized ratio per row."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    regtot = rev.groupBy(F.col("region").alias("rg")).agg(
+        F.sum("rev").cast("bigint").alias("reg_rev")
+    )
+    return (
+        rev.join(F.broadcast(regtot), F.col("region") == F.col("rg"))
+        .select(
+            "region", "nation",
+            F.col("rev").alias("rev_micros"),
+            F.floor(F.col("rev") * 1000000.0 / F.col("reg_rev") + F.lit(0.5))
+            .cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query("q_impute_mean", oracle=r"""
+WITH x AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) AS bal,
+         CASE WHEN substring(md5('miss:' || CAST(c_custkey AS VARCHAR)),
+                             1, 1) < '2'
+              THEN 1 ELSE 0 END AS missing
+  FROM customer
+),
+seg_mean AS (
+  SELECT seg, CAST(sum(bal) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM x WHERE missing = 0 GROUP BY seg
+)
+SELECT x.seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(x.missing) AS BIGINT) AS n_imputed,
+       round(CAST(sum(x.bal) AS DOUBLE) / count(*) / 1000000.0, 4)
+         AS true_mean,
+       round(CAST(max(m.s) AS DOUBLE) / max(m.n) / 1000000.0, 4)
+         AS imputed_mean,
+       round(CAST(max(m.s) AS DOUBLE) / max(m.n) / 1000000.0
+             - CAST(sum(x.bal) AS DOUBLE) / count(*) / 1000000.0, 4)
+         AS imputation_bias
+FROM x JOIN seg_mean m ON x.seg = m.seg
+GROUP BY x.seg ORDER BY x.seg
+""")
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mean-imputation audit: an md5 row mask (~2/16 of
+    customers) simulates missing balances; per-segment survivor means
+    (exact micro-unit sums) fill the masked rows. Mean imputation makes
+    the repaired mean EQUAL the survivor mean by construction, so the
+    report's payload is the imputation BIAS — repaired mean minus the
+    ground-truth mean the simulation still knows (what a naive-repair
+    pipeline silently loses). The mask is a pure row-key function, so
+    the "missing" set is identical across engines, retries, and shards.
+
+    Scale shape: one scan → segment-grain conditional aggregate; the
+    5-row survivor-mean table broadcasts back onto the second segment
+    aggregate. No repaired rows are ever materialized."""
+    missing = (
+        F.substring(
+            F.md5(F.concat(F.lit("miss:"), F.col("c_custkey").cast("string"))),
+            1, 1,
+        ) < "2"
+    ).cast("int")
+    x = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("bal"),
+        missing.alias("missing"),
+    )
+    seg_mean = (
+        x.where(F.col("missing") == 0)
+        .groupBy("seg")
+        .agg(
+            F.sum("bal").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    surv_mean = F.max("s").cast("double") / F.max("n")
+    true_mean = F.sum("bal").cast("double") / F.count(F.lit(1))
+    return (
+        x.join(F.broadcast(seg_mean), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("missing").cast("bigint").alias("n_imputed"),
+            F.round(true_mean / 1000000.0, 4).alias("true_mean"),
+            F.round(surv_mean / 1000000.0, 4).alias("imputed_mean"),
+            F.round(
+                surv_mean / 1000000.0 - true_mean / 1000000.0, 4
+            ).alias("imputation_bias"),
+        )
+        .orderBy("seg")
+    )

@@ -546,3 +546,70 @@ def test_negative_sample_histogram_accounts_everyone(spark, sf_dir):
     )
     assert sum(r.n_customers for r in rows) == n_cust
     assert all(0 <= r.n_neg <= _NEG_K for r in rows)
+
+
+def test_weighted_median_between_minmax_and_shifts_up(spark, sf_dir):
+    """The weighted median must lie within the group's price range; a
+    quantity-weighted median with positive weights on higher-priced
+    heavy lines must also dominate pure min (sanity of the frequency
+    argument actually being applied: recompute one group by expansion)."""
+    rows = _QUERIES["q_weighted_median"](spark, sf_dir).collect()
+    x = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 1)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            "l_extendedprice",
+            F.col("l_quantity").cast("int").alias("w"),
+        )
+    )
+    bounds = {
+        r.flag: (r.lo, r.hi)
+        for r in x.groupBy("flag")
+        .agg(F.min("l_extendedprice").alias("lo"),
+             F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.flag]
+        assert lo <= r.wmedian_price <= hi
+    # expansion recompute for the lexicographically first flag
+    flag0 = rows[0].flag
+    vals = []
+    for rec in x.where(F.col("flag") == flag0).collect():
+        vals.extend([rec.l_extendedprice] * rec.w)
+    vals.sort()
+    n = len(vals)
+    # quantile_cont(0.5) interpolation on the expanded multiset
+    import math
+
+    h = (n - 1) * 0.5
+    lo_i, frac = int(math.floor(h)), h - math.floor(h)
+    expect = vals[lo_i] + frac * (vals[lo_i + 1] - vals[lo_i]) if frac else vals[lo_i]
+    assert abs(rows[0].wmedian_price - round(expect, 4)) < 5e-4
+
+
+def test_share_of_total_sums_to_unity_per_region(spark, sf_dir):
+    """Within each region the nation shares must sum to 1e6 ppm up to
+    per-nation quantization (±ceil(n/2))."""
+    rows = _QUERIES["q_share_of_total"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.region, []).append(r.share_ppm)
+    for region, shares in per.items():
+        assert abs(sum(shares) - 1_000_000) <= len(shares), region
+
+
+def test_impute_mean_bias_identity(spark, sf_dir):
+    """Imputation identities: n_imputed <= n_rows; the bias column is
+    imputed_mean − true_mean to 4dp; a segment with nothing masked has
+    zero bias; and the mask rate is in a plausible 2/16 band."""
+    rows = _QUERIES["q_impute_mean"](spark, sf_dir).collect()
+    n_tot = sum(r.n_rows for r in rows)
+    n_imp = sum(r.n_imputed for r in rows)
+    assert 0.02 < n_imp / n_tot < 0.30  # ~12.5% md5 mask
+    for r in rows:
+        assert 0 <= r.n_imputed <= r.n_rows
+        assert abs(r.imputation_bias - (r.imputed_mean - r.true_mean)) < 2e-4
+        if r.n_imputed == 0:
+            assert abs(r.imputation_bias) < 1e-9
