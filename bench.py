@@ -215,6 +215,10 @@ HEADLINE = (
     "q_weighted_median",
     "q_share_of_total",
     "q_impute_mean",
+    # round-4 wave 37: EXCEPT ALL, ROC curve, exact PCA power step
+    "q_sql_except_all",
+    "q_roc_curve",
+    "q_pca_power",
 )
 
 

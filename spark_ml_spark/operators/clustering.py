@@ -44,7 +44,7 @@ _DIMS = 64
 @query("q_kmeans_step", oracle=f"""
 WITH pts AS (
   SELECT vec_id, dd.i + 1 AS d,
-         CAST(floor(embedding[dd.i + 1] * 1000 + 0.5) AS BIGINT) + 1000 AS x
+         CAST(floor(CAST(embedding[dd.i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) + 1000 AS x
   FROM embeddings CROSS JOIN (SELECT unnest(range({_DIMS})) AS i) dd
 ),
 c0 AS (SELECT vec_id AS k, d, x AS c FROM pts WHERE vec_id < {_K}),
@@ -176,4 +176,75 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
         F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
         "centroid_checksum",
+    )
+
+
+@query("q_pca_power", oracle=f"""
+WITH rows_q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                  AS BIGINT)) AS m
+  FROM embeddings
+),
+with_s AS (
+  SELECT vec_id, m, list_sum(m) AS s FROM rows_q
+),
+pts AS (
+  SELECT dd.i + 1 AS d, m[dd.i + 1] AS x, s
+  FROM with_s CROSS JOIN (SELECT unnest(range({_DIMS})) AS i) dd
+),
+w AS (
+  SELECT d, CAST(sum(x * s) AS BIGINT) AS w_d
+  FROM pts GROUP BY d
+),
+mx AS (SELECT max(abs(w_d)) AS w_max FROM w)
+SELECT CAST(d AS BIGINT) AS d, w_d,
+       CAST(floor(abs(w_d) * 1000000.0 / w_max + 0.5) AS BIGINT)
+         AS mag_ppm
+FROM w, mx
+ORDER BY d
+""")
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-integer power-iteration step toward the top principal
+    direction of the embedding Gram matrix, started from the ones
+    vector: w = G·1 where G = Σ mᵣmᵣᵀ over thousandth-quantized rows.
+    Because (G·1)ᵢ = Σᵣ mᵣᵢ·(Σⱼ mᵣⱼ), the 64×64 matrix is NEVER
+    materialized — each row contributes mᵢ·rowsum, with the rowsum
+    computed IN-ROW (``aggregate`` over the array) before the explode.
+    Output: per-dimension w (exact BIGINT) and magnitude relative to
+    the max in ppm — the audit twin of an MLlib PCA fit, same
+    quantization discipline as ``q_kmeans_step``.
+
+    Scale shape: one corpus scan, in-row rowsum, a 64-way in-row
+    flat-map, one 64-group map-side-combined aggregate; the max
+    normalizer is a 1-row broadcast. Zero joins, zero floats until the
+    final quantized ratio."""
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    rows_q = load(spark, sf_dir, "embeddings").select(
+        quant.alias("m")
+    ).select(
+        "m",
+        F.aggregate("m", F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+    )
+    pts = rows_q.select(
+        F.posexplode("m").alias("pos", "x"), "s"
+    ).select((F.col("pos") + 1).alias("d"), "x", "s")
+    w = pts.groupBy("d").agg(
+        F.sum(F.col("x") * F.col("s")).cast("bigint").alias("w_d")
+    )
+    mx = w.agg(F.max(F.abs("w_d")).alias("w_max"))
+    return (
+        w.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            "w_d",
+            F.floor(
+                F.abs("w_d") * 1000000.0 / F.col("w_max") + F.lit(0.5)
+            ).cast("bigint").alias("mag_ppm"),
+        )
+        .orderBy("d")
     )

@@ -880,3 +880,82 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_score"),
         )
     )
+
+
+@query("q_roc_curve", oracle="""
+WITH scored AS (
+  SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(y) AS BIGINT) AS pos_b
+  FROM scored GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(pos_b) AS BIGINT) AS n_pos,
+         CAST(sum(n_b) - sum(pos_b) AS BIGINT) AS n_neg
+  FROM hist
+),
+suf AS (
+  SELECT bucket,
+         CAST(sum(pos_b) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+         CAST(sum(n_b - pos_b) OVER (ORDER BY bucket DESC) AS BIGINT) AS fp
+  FROM hist
+)
+SELECT bucket, tp, fp,
+       CAST(floor(tp * 1000000.0 / n_pos + 0.5) AS BIGINT) AS tpr_ppm,
+       CAST(floor(fp * 1000000.0 / n_neg + 0.5) AS BIGINT) AS fpr_ppm
+FROM suf, tot
+ORDER BY bucket
+""")
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points for the ``q_auc`` score (n_chars as the
+    score, lang='en' as the positive class), one point per 100-char
+    score bucket: TP/FP counts of the ">= bucket" classifier and
+    TPR/FPR in ppm — the threshold table behind the single-number AUC.
+
+    Engine exactness: suffix sums over the BOUNDED bucket histogram
+    (≤ ~60 rows) are exact BIGINTs; the only floats are the two
+    quantized ratios per row. Scale shape: one corpus histogram
+    aggregate (map-side combined); the suffix-sum window runs on the
+    bucket histogram pinned to one partition via ``api.one_partition``
+    (bounded by design — same discipline as q_auc's rank window)."""
+    from pyspark.sql import Window as W
+
+    from spark_ml_spark import api as _api
+
+    scored = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("bucket"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos_b"),
+    )
+    tot = hist.agg(
+        F.sum("pos_b").cast("bigint").alias("n_pos"),
+        (F.sum("n_b") - F.sum("pos_b")).cast("bigint").alias("n_neg"),
+    )
+    w = (
+        W.partitionBy(_api.one_partition("bucket"))
+        .orderBy(F.col("bucket").desc())
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    suf = hist.select(
+        "bucket",
+        F.sum("pos_b").over(w).cast("bigint").alias("tp"),
+        F.sum(F.col("n_b") - F.col("pos_b")).over(w).cast("bigint").alias("fp"),
+    )
+    return (
+        suf.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "tp", "fp",
+            F.floor(F.col("tp") * 1000000.0 / F.col("n_pos") + F.lit(0.5))
+            .cast("bigint").alias("tpr_ppm"),
+            F.floor(F.col("fp") * 1000000.0 / F.col("n_neg") + F.lit(0.5))
+            .cast("bigint").alias("fpr_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -166,3 +166,45 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d, LATERAL bigrams_udtf(d.text) t
       GROUP BY d.doc_id
     """)
+
+
+@query("q_sql_except_all", oracle=r"""
+WITH a AS (
+  SELECT l.l_partkey AS partkey FROM lineitem l
+  WHERE EXTRACT(year FROM l.l_shipdate) = 1995
+),
+b AS (
+  SELECT l.l_partkey AS partkey FROM lineitem l
+  WHERE EXTRACT(year FROM l.l_shipdate) = 1996
+),
+resid AS (
+  SELECT partkey FROM a EXCEPT ALL SELECT partkey FROM b
+)
+SELECT partkey, CAST(count(*) AS BIGINT) AS surplus
+FROM resid GROUP BY partkey
+ORDER BY surplus DESC, partkey
+LIMIT 20
+""")
+def q_sql_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference) surface: the multiset of parts
+    shipped in 1995 minus the 1996 multiset — each 1996 occurrence
+    cancels ONE 1995 occurrence (ANSI bag semantics, which plain
+    EXCEPT's set semantics loses); top-20 residual surpluses. The
+    year-over-year "demand we had then but not now" readout.
+
+    Scale shape: Spark plans ``exceptAll`` as a count-difference
+    aggregation (sum of +1/−1 tags per key), not a join — one shuffle
+    on the part key, no row-vs-row matching; the rollup after it is
+    vocabulary-sized and top-20 is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.year("l_shipdate").alias("yr")
+    )
+    a = li.where(F.col("yr") == 1995).select("partkey")
+    b = li.where(F.col("yr") == 1996).select("partkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("surplus"))
+        .orderBy(F.col("surplus").desc(), "partkey")
+        .limit(20)
+    )

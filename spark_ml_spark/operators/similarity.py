@@ -574,7 +574,7 @@ WITH pts AS (
   SELECT vec_id,
          dd.i // {_MS_SUBDIM}      AS sub,
          dd.i % {_MS_SUBDIM}       AS p,
-         CAST(floor(embedding[dd.i + 1] * 1000 + 0.5) AS BIGINT) AS x
+         CAST(floor(CAST(embedding[dd.i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
   FROM embeddings CROSS JOIN (SELECT unnest(range({_MS_SUBS * _MS_SUBDIM})) AS i) dd
 ),
 q AS (SELECT sub AS qsub, p, x AS qx FROM pts WHERE vec_id = 0),

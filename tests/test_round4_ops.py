@@ -613,3 +613,51 @@ def test_impute_mean_bias_identity(spark, sf_dir):
         assert abs(r.imputation_bias - (r.imputed_mean - r.true_mean)) < 2e-4
         if r.n_imputed == 0:
             assert abs(r.imputation_bias) < 1e-9
+
+
+def test_except_all_bag_arithmetic(spark, sf_dir):
+    """For each emitted part, surplus must equal max(0, c95 - c96)
+    recomputed from raw counts (bag-difference semantics, not set)."""
+    rows = _QUERIES["q_sql_except_all"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    )
+    counts = {
+        (r.l_partkey, r.yr): r.c
+        for r in li.groupBy("l_partkey", "yr")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        c95 = counts.get((r.partkey, 1995), 0)
+        c96 = counts.get((r.partkey, 1996), 0)
+        assert r.surplus == max(0, c95 - c96), (r.partkey, c95, c96)
+
+
+def test_roc_curve_is_monotone_and_anchored(spark, sf_dir):
+    """Walking thresholds downward (bucket asc→desc ordering): tp/fp
+    suffix counts must be non-increasing in bucket; the lowest bucket's
+    point must be (n_pos, n_neg) i.e. ppm (1e6, 1e6)."""
+    rows = _QUERIES["q_roc_curve"](spark, sf_dir).collect()
+    tps = [r.tp for r in rows]
+    fps = [r.fp for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    assert rows[0].tpr_ppm == 1_000_000 and rows[0].fpr_ppm == 1_000_000
+
+
+def test_pca_power_matches_numpy(spark, sf_dir):
+    """Recompute w = G·1 with numpy over the same quantized integers —
+    exact equality, not tolerance."""
+    import numpy as np
+
+    rows = _QUERIES["q_pca_power"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    w = (M * M.sum(axis=1, keepdims=True)).sum(axis=0)
+    got = {r.d: r.w_d for r in rows}
+    assert len(got) == M.shape[1]
+    for d in range(M.shape[1]):
+        assert got[d + 1] == int(w[d]), (d, got[d + 1], int(w[d]))
