@@ -219,6 +219,10 @@ HEADLINE = (
     "q_sql_except_all",
     "q_roc_curve",
     "q_pca_power",
+    # round-4 wave 38: skyline, SRM guard, streaming windowed top-k
+    "q_skyline",
+    "q_srm_check",
+    "q_stream_windowed_topk",
 )
 
 

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.customer_analytics",
     "spark_ml_spark.operators.behavior",
     "spark_ml_spark.operators.warehouse_ops",
+    "spark_ml_spark.operators.frontier",
 )
 
 

@@ -611,3 +611,50 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query("q_stream_windowed_topk", oracle="""
+WITH agg AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY hour_bucket
+                               ORDER BY n_events DESC, event_type) AS rn
+  FROM agg
+)
+SELECT hour_bucket, event_type AS top_type, n_events
+FROM r WHERE rn = 1 ORDER BY hour_bucket
+""")
+def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window leader: tumbling-hour event-type counts
+    (stateful streaming hash aggregation, complete mode), then the
+    top-1 type per hour with a deterministic (count desc, type) tie-
+    break. The rank step runs as a BATCH window over the drained sink
+    — the production shape ("aggregate in the stream, rank in the
+    serving layer") because per-window top-k inside a streaming query
+    would need sorting within an unfinished aggregation state.
+
+    Scale shape: the only corpus-sized stage is the streaming hash
+    aggregation (state = |hours|×|types| rows); the rank window
+    partitions by hour over the tiny aggregate table."""
+    from pyspark.sql import Window
+
+    stream = _read_events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+        .alias("hour_bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    sink = _drain(agg, "complete")
+    w = Window.partitionBy("hour_bucket").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("hour_bucket", F.col("event_type").alias("top_type"),
+                "n_events")
+        .orderBy("hour_bucket")
+    )

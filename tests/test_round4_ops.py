@@ -661,3 +661,67 @@ def test_pca_power_matches_numpy(spark, sf_dir):
     assert len(got) == M.shape[1]
     for d in range(M.shape[1]):
         assert got[d + 1] == int(w[d]), (d, got[d + 1], int(w[d]))
+
+
+def test_skyline_is_pareto_frontier(spark, sf_dir):
+    """No emitted point may dominate another (strictly increasing price
+    as qty decreases), and every point must be undominated against the
+    raw level table."""
+    rows = _QUERIES["q_skyline"](spark, sf_dir).collect()
+    # frontier sorted by qty asc must have strictly decreasing price
+    prices = [r.best_price for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert len(set(prices)) == len(prices)
+    lvl = {
+        r.qty: r.p
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").cast("bigint").alias("qty"))
+        .agg(F.max("l_extendedprice").alias("p"))
+        .collect()
+    }
+    emitted = {r.qty for r in rows}
+    for q, p in lvl.items():
+        dominated = any(
+            q2 >= q and p2 >= p and (q2 > q or p2 > p)
+            for q2, p2 in lvl.items()
+            if q2 != q or p2 != p
+        )
+        if not dominated:
+            assert q in emitted, (q, p)
+
+
+def test_srm_check_matches_user_partition(spark, sf_dir):
+    """n_a + n_b must equal the distinct user count and the chi2 value
+    must recompute from the two counts."""
+    r = _QUERIES["q_srm_check"](spark, sf_dir).collect()[0]
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    expect = (r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b)
+    assert abs(r.chi2 - round(expect, 4)) < 5e-4
+    assert r.srm_flag == (1 if expect > 3.841459 else 0)
+
+
+def test_stream_windowed_topk_agrees_with_batch(spark, sf_dir):
+    """The streaming leader per hour must equal the batch recompute —
+    one winner per hour, counts positive."""
+    rows = _QUERIES["q_stream_windowed_topk"](spark, sf_dir).collect()
+    hours = [r.hour_bucket for r in rows]
+    assert len(hours) == len(set(hours))
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            .alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    best = {}
+    for b in batch:
+        k = b.hour_bucket
+        cand = (-b.n, b.event_type)
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    for r in rows:
+        assert (-r.n_events, r.top_type) == best[r.hour_bucket]
