@@ -223,6 +223,10 @@ HEADLINE = (
     "q_skyline",
     "q_srm_check",
     "q_stream_windowed_topk",
+    # round-4 wave 39: item-item CF, JL projection audit, DBSCAN cores
+    "q_item_similarity",
+    "q_random_projection",
+    "q_dbscan_core",
 )
 
 

@@ -230,3 +230,106 @@ def q_geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").cast("bigint"),
         )
     )
+
+
+#: DBSCAN parameters: eps in e4 micro-degree units, minPts EXCLUDING self
+_DB_EPS = 50_000
+_DB_MIN = 4
+
+
+@query("q_dbscan_core", oracle=rf"""
+WITH pts AS ({_coord_exprs_sql("c_custkey", "geoc:")} FROM customer),
+cells AS (
+  SELECT k, lat_e4, lon_e4,
+         CAST((lon_e4 + 1800000) // {_DB_EPS} AS BIGINT) AS cx,
+         CAST((lat_e4 + 900000) // {_DB_EPS} AS BIGINT) AS cy
+  FROM pts
+),
+cand AS (
+  SELECT a.k, CAST(count(*) AS BIGINT) AS n_nbr
+  FROM cells a
+  JOIN (SELECT unnest(range(-1, 2)) AS dx) xx ON TRUE
+  JOIN (SELECT unnest(range(-1, 2)) AS dy) yy ON TRUE
+  JOIN cells b
+    ON b.cx = a.cx + xx.dx AND b.cy = a.cy + yy.dy AND b.k <> a.k
+   AND (CAST(a.lat_e4 - b.lat_e4 AS BIGINT) * (a.lat_e4 - b.lat_e4)
+        + CAST(a.lon_e4 - b.lon_e4 AS BIGINT) * (a.lon_e4 - b.lon_e4))
+       <= CAST({_DB_EPS} AS BIGINT) * {_DB_EPS}
+  GROUP BY a.k
+),
+counts AS (
+  SELECT c.k, coalesce(n.n_nbr, 0) AS n_nbr
+  FROM cells c LEFT JOIN cand n ON c.k = n.k
+)
+SELECT CAST(CASE WHEN n_nbr > 10 THEN 10 ELSE n_nbr END AS BIGINT)
+         AS nbr_bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN n_nbr >= {_DB_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core
+FROM counts GROUP BY 1 ORDER BY nbr_bucket
+""")
+def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection over the deterministic customer
+    coordinates: a point is CORE when ≥ {minPts} other points lie
+    within eps (exact integer squared distance). Candidates come from
+    the 3×3 neighborhood of an eps-sized grid — the same bounded-cell
+    discipline as ``q_geo_knn_join``, so the pair stream is
+    density-bounded, never all-pairs. Output: the neighbor-count
+    histogram (capped at 10+) with per-bucket core counts — the
+    density profile a full DBSCAN run would cluster from.
+
+    Scale shape: cell derivation is map-only; the 9-way cell fan-out is
+    in-row; the neighbor join shuffles on the CELL key (each cell holds
+    O(density) points); everything after is a count-of-counts rollup.
+    All arithmetic is exact integers."""
+    pts = _with_coords(load(spark, sf_dir, "customer"), "c_custkey", "geoc:")
+    cells = pts.select(
+        "k", "lat_e4", "lon_e4",
+        F.expr(f"CAST((lon_e4 + 1800000) DIV {_DB_EPS} AS BIGINT)")
+        .alias("cx"),
+        F.expr(f"CAST((lat_e4 + 900000) DIV {_DB_EPS} AS BIGINT)")
+        .alias("cy"),
+    )
+    shifts = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx AS dx, dy AS dy)))))"
+    )
+    probe = cells.select(
+        F.col("k").alias("ak"), F.col("lat_e4").alias("alat"),
+        F.col("lon_e4").alias("alon"), "cx", "cy", shifts.alias("s")
+    ).select(
+        "ak", "alat", "alon",
+        (F.col("cx") + F.col("s.dx")).alias("jx"),
+        (F.col("cy") + F.col("s.dy")).alias("jy"),
+    )
+    d2 = (
+        (F.col("alat") - F.col("lat_e4")).cast("bigint")
+        * (F.col("alat") - F.col("lat_e4"))
+        + (F.col("alon") - F.col("lon_e4")).cast("bigint")
+        * (F.col("alon") - F.col("lon_e4"))
+    )
+    cand = (
+        probe.join(
+            cells,
+            (F.col("jx") == F.col("cx")) & (F.col("jy") == F.col("cy"))
+            & (F.col("ak") != F.col("k")),
+        )
+        .where(d2 <= F.lit(_DB_EPS * _DB_EPS).cast("bigint"))
+        .groupBy("ak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nbr"))
+    )
+    counts = cells.select("k").join(
+        cand, F.col("k") == F.col("ak"), "left"
+    ).select(F.coalesce("n_nbr", F.lit(0)).alias("n_nbr"))
+    return (
+        counts.groupBy(
+            F.least(F.col("n_nbr"), F.lit(10)).cast("bigint")
+            .alias("nbr_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum((F.col("n_nbr") >= _DB_MIN).cast("int"))
+            .cast("bigint").alias("n_core"),
+        )
+        .orderBy("nbr_bucket")
+    )

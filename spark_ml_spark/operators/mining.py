@@ -192,3 +192,66 @@ def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("streak_days").desc(), "user_id", "streak_start")
         .limit(20)
     )
+
+
+@query("q_item_similarity", oracle=r"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+deg AS (SELECT item, CAST(count(*) AS BIGINT) AS d FROM b GROUP BY item),
+co AS (
+  SELECT x.item AS a, y.item AS bb, CAST(count(*) AS BIGINT) AS co
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2
+)
+SELECT co.a, co.bb AS b, co.co,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(floor(co.co * 1000000.0 / sqrt(CAST(da.d AS DOUBLE) * db.d)
+                  + 0.5) AS BIGINT) AS cosine_ppm
+FROM co JOIN deg da ON da.item = co.a JOIN deg db ON db.item = co.bb
+WHERE co.co >= 3
+ORDER BY cosine_ppm DESC, a, b
+LIMIT 20
+""")
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine over order baskets —
+    sim(a,b) = co(a,b)/√(deg(a)·deg(b)), the classical memory-based
+    collaborative-filtering similarity (Sarwar et al. 2001); support
+    floor co ≥ 3 prunes noise pairs, top-20 with full tie-break. The
+    RATIO sibling of ``q_assoc_rules``'s directed lift.
+
+    Scale shape: the co-count join is ON THE BASKET KEY (per-basket
+    fan-out bounded by basket size, the wave-28 discipline); degrees
+    broadcast onto the vocabulary-sized pair table; the only float is
+    one quantized cosine per surviving pair."""
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    deg = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x, y = b.alias("x"), b.alias("y")
+    co = (
+        x.join(y, (F.col("x.basket") == F.col("y.basket"))
+               & (F.col("x.item") < F.col("y.item")))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .where(F.col("co") >= 3)
+    )
+    degb = F.broadcast(deg)
+    return (
+        co.join(degb.alias("da"), F.col("a") == F.col("da.item"))
+        .join(degb.alias("db"), F.col("b") == F.col("db.item"))
+        .select(
+            "a", "b", "co",
+            F.col("da.d").alias("deg_a"), F.col("db.d").alias("deg_b"),
+            F.floor(
+                F.col("co") * 1000000.0
+                / F.sqrt(F.col("da.d").cast("double") * F.col("db.d"))
+                + F.lit(0.5)
+            ).cast("bigint").alias("cosine_ppm"),
+        )
+        .orderBy(F.col("cosine_ppm").desc(), "a", "b")
+        .limit(20)
+    )

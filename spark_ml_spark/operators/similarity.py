@@ -652,3 +652,108 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("long").alias("maxsim")
     )
     return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)
+
+
+#: random-projection target dimensionality (Johnson–Lindenstrauss)
+_RP_K = 8
+
+
+@query("q_random_projection", oracle=f"""
+WITH rows_q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                  AS BIGINT)) AS m
+  FROM embeddings
+),
+with_norm AS (
+  SELECT vec_id, m,
+         list_sum(list_transform(m, x -> x * x)) AS norm2
+  FROM rows_q
+),
+pts AS (
+  SELECT vec_id, norm2, dd.i AS i, m[dd.i + 1] AS x
+  FROM with_norm CROSS JOIN (SELECT unnest(range(64)) AS i) dd
+),
+proj AS (
+  SELECT p.vec_id, p.norm2, kk.k,
+         CAST(sum(p.x * (CASE WHEN substr(md5('rp:' || CAST(kk.k AS VARCHAR)
+                                           || ':' || CAST(p.i AS VARCHAR)),
+                                      1, 1) < '8'
+                              THEN 1 ELSE -1 END)) AS BIGINT) AS w
+  FROM pts p CROSS JOIN (SELECT unnest(range({_RP_K})) AS k) kk
+  GROUP BY 1, 2, 3
+),
+ratio AS (
+  SELECT vec_id,
+         CAST(floor(sum(w * w) * 1000000.0 / ({_RP_K} * max(norm2)) + 0.5)
+              AS BIGINT) AS ratio_ppm
+  FROM proj GROUP BY vec_id
+)
+SELECT CAST(ratio_ppm // 100000 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM ratio GROUP BY 1 ORDER BY bucket
+""")
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sanity audit: project each thousandth-
+    quantized embedding onto 8 deterministic ±1 directions (sign =
+    md5('rp:k:i') bit — the Achlioptas 2003 database-friendly JL
+    matrix, derived not stored) and histogram the norm-preservation
+    ratio ‖Pm‖²/(k·‖m‖²) in 10%-wide ppm buckets. A healthy JL sketch
+    concentrates near bucket 10 (ratio ≈ 1e6); mass far from it means
+    the projection (or the upstream quantization) is broken — the
+    audit that runs BEFORE trusting any projected-space ANN.
+
+    Engine exactness: signs, products, and norms are all integers; the
+    single quantized ratio per vector is the only float. Scale shape:
+    in-row norm, a 64-way in-row flat map, one (vector × 8)-key
+    map-side-combined aggregate — the sign matrix is 512 derived
+    values, never a stored table, so NOTHING broadcasts at all."""
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    rows_q = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quant.alias("m")
+    ).select(
+        "vec_id", "m",
+        F.aggregate(
+            F.transform("m", lambda x: x * x),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).alias("norm2"),
+    )
+    pts = rows_q.select(
+        "vec_id", "norm2", F.posexplode("m").alias("i", "x")
+    )
+    ks = F.array(*[F.lit(k) for k in range(_RP_K)])
+    sign = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rp:"), F.col("k").cast("string"),
+                    F.lit(":"), F.col("i").cast("string"),
+                )
+            ),
+            1, 1,
+        ) < "8",
+        1,
+    ).otherwise(-1)
+    proj = (
+        pts.select("vec_id", "norm2", "i", "x", F.explode(ks).alias("k"))
+        .groupBy("vec_id", "norm2", "k")
+        .agg(F.sum(F.col("x") * sign).cast("bigint").alias("w"))
+    )
+    ratio = proj.groupBy("vec_id").agg(
+        F.floor(
+            F.sum(F.col("w") * F.col("w")) * 1000000.0
+            / (_RP_K * F.max("norm2"))
+            + F.lit(0.5)
+        ).cast("bigint").alias("ratio_ppm")
+    )
+    return (
+        ratio.groupBy(
+            F.expr("CAST(ratio_ppm DIV 100000 AS BIGINT)").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("bucket")
+    )

@@ -725,3 +725,46 @@ def test_stream_windowed_topk_agrees_with_batch(spark, sf_dir):
             best[k] = cand
     for r in rows:
         assert (-r.n_events, r.top_type) == best[r.hour_bucket]
+
+
+def test_item_similarity_cosine_bounds(spark, sf_dir):
+    """co <= min(deg_a, deg_b) implies cosine <= 1e6 ppm; support floor
+    respected; output sorted by (cosine desc, a, b)."""
+    rows = _QUERIES["q_item_similarity"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.co >= 3
+        assert r.co <= min(r.deg_a, r.deg_b)
+        assert 0 < r.cosine_ppm <= 1_000_000
+    keys = [(-r.cosine_ppm, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_random_projection_concentrates(spark, sf_dir):
+    """JL with k=8 has E[ratio]=1: the vector-count-weighted mean of
+    bucket midpoints must sit within 30% of 1e6, and every vector is
+    histogrammed exactly once."""
+    rows = _QUERIES["q_random_projection"](spark, sf_dir).collect()
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vec
+    mean_mid = (
+        sum((r.bucket * 100_000 + 50_000) * r.n_vectors for r in rows)
+        / n_vec
+    )
+    assert 700_000 < mean_mid < 1_300_000, mean_mid
+
+
+def test_dbscan_core_histogram_accounts_everyone(spark, sf_dir):
+    """Bucket masses sum to the customer count; n_core is nonzero only
+    in buckets >= minPts and equals n_points there (bucket membership
+    implies the core predicate for buckets below the cap)."""
+    from spark_ml_spark.operators.geo import _DB_MIN
+
+    rows = _QUERIES["q_dbscan_core"](spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_points for r in rows) == n_cust
+    for r in rows:
+        if r.nbr_bucket < _DB_MIN:
+            assert r.n_core == 0
+        elif r.nbr_bucket < 10:
+            assert r.n_core == r.n_points
