@@ -227,6 +227,10 @@ HEADLINE = (
     "q_item_similarity",
     "q_random_projection",
     "q_dbscan_core",
+    # round-4 wave 40: malformed-ingest audit, table checksums, MI
+    "q_csv_malformed",
+    "q_table_checksum",
+    "q_mutual_info",
 )
 
 

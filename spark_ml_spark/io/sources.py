@@ -152,3 +152,41 @@ def read_documents_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("escape", "\\")
             .option("multiLine", True)
             .csv(path))
+
+
+def dirty_orders_csv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``orders`` as a DELIBERATELY dirty header-less CSV
+    once per sf_dir: rows whose ``md5('dirty:' || o_orderkey)`` starts
+    with ``'0'`` (a deterministic ~1/16 mask) get one extra unquoted
+    trailing field — the malformed-row class the reference's
+    ``arreglaComas`` state machine existed to paper over
+    (``Data_transform.py:44-57``). The corruption is a pure row-key
+    function, so the EXPECTED good/bad partition is recomputable from
+    the clean parquet without parsing the dirty file — that recompute
+    is ``q_csv_malformed``'s oracle."""
+    from pyspark.sql import functions as F
+
+    key = fixture_key(sf_dir, "orders")
+    out = os.path.join(_CACHE_DIR, f"orders_dirty_csv_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+        line = F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            # format_string, NOT format_number: the latter inserts
+            # thousands-separator commas, which would corrupt every row
+            F.format_string("%.2f", F.col("o_totalprice")),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            "o_orderpriority",
+        )
+        bad = F.substring(
+            F.md5(F.concat(F.lit("dirty:"), F.col("o_orderkey").cast("string"))),
+            1, 1,
+        ) == "0"
+        (o.select(
+            F.when(bad, F.concat(line, F.lit(",XTRA"))).otherwise(line)
+            .alias("value"))
+         .write.mode("overwrite").text(out))
+    return out

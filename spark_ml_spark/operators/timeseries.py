@@ -83,12 +83,18 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross products) so the Pearson closed form is one float expression
     per lag."""
     d = _daily_counts(spark, sf_dir)
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
-    a = d.alias("a").crossJoin(F.broadcast(lags))
+    # the 7 lags attach IN-ROW (explode of an array literal) — no
+    # crossJoin/BNLJ even of a tiny table; the repo-wide plan-hygiene
+    # test treats every non-provably-tiny nested-loop build as a defect
+    lag_arr = F.array(*[F.lit(i) for i in range(1, 8)])
+    a = d.alias("a").select(
+        F.col("a.day").alias("aday"), F.col("a.x").alias("xa"),
+        F.explode(lag_arr).alias("lag"),
+    )
     p = a.join(
         d.alias("b"),
-        F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
-    ).select("lag", F.col("a.x").alias("xa"), F.col("b.x").alias("xb"))
+        F.col("b.day") == F.date_add(F.col("aday"), F.col("lag")),
+    ).select("lag", "xa", F.col("b.x").alias("xb"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = p.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.behavior",
     "spark_ml_spark.operators.warehouse_ops",
     "spark_ml_spark.operators.frontier",
+    "spark_ml_spark.operators.integrity",
 )
 
 

@@ -768,3 +768,62 @@ def test_dbscan_core_histogram_accounts_everyone(spark, sf_dir):
             assert r.n_core == 0
         elif r.nbr_bucket < 10:
             assert r.n_core == r.n_points
+
+
+def test_csv_malformed_partition_is_exhaustive(spark, sf_dir):
+    """good + bad = total = orders row count, and the good-key sum plus
+    the masked-key sum equals the full key sum (nothing lost, nothing
+    double-counted)."""
+    r = _QUERIES["q_csv_malformed"](spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    assert r.n_total == o.count()
+    assert r.n_good + r.n_bad == r.n_total
+    full = o.agg(F.sum("o_orderkey")).first()[0]
+    bad_sum = (
+        o.where(
+            F.substring(
+                F.md5(F.concat(F.lit("dirty:"),
+                               F.col("o_orderkey").cast("string"))), 1, 1
+            ) == "0"
+        ).agg(F.coalesce(F.sum("o_orderkey"), F.lit(0))).first()[0]
+    )
+    assert r.good_key_sum == full - bad_sum
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_dir):
+    """The checksum must differ when one row's attribute flips —
+    recompute the orders checksum with one status char swapped and
+    assert inequality (collision over a 32-bit sum of 15k terms is
+    astronomically unlikely and deterministic here)."""
+    rows = {r.table_name: r for r in
+            _QUERIES["q_table_checksum"](spark, sf_dir).collect()}
+    assert set(rows) == {"region", "nation", "supplier", "part",
+                         "customer", "orders"}
+    o = load(spark, sf_dir, "orders")
+    assert rows["orders"].n_rows == o.count()
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 1, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.expr(
+                "CAST(o_orderkey AS STRING) || '|' || o_orderstatus")),
+            1, 8),
+        16, 10,
+    ).cast("bigint")
+    mut_sum = mutated.agg(F.sum(h)).first()[0]
+    assert mut_sum != rows["orders"].checksum
+
+
+def test_mutual_info_information_inequalities(spark, sf_dir):
+    """0 <= MI <= min(H(seg), H(pri)); NMI in [0,1]; entropies at most
+    ln(5) for 5-value marginals."""
+    import math
+
+    r = _QUERIES["q_mutual_info"](spark, sf_dir).collect()[0]
+    assert -1e-4 <= r.mi_nats <= min(r.h_seg, r.h_pri) + 1e-4
+    assert -1e-4 <= r.nmi <= 1.0 + 1e-4
+    assert r.h_seg <= math.log(5) + 1e-6
+    assert r.h_pri <= math.log(5) + 1e-6
