@@ -231,6 +231,10 @@ HEADLINE = (
     "q_csv_malformed",
     "q_table_checksum",
     "q_mutual_info",
+    # round-4 wave 41: LOCF fill, max drawdown, revenue bridge
+    "q_locf_fill",
+    "q_drawdown",
+    "q_revenue_bridge",
 )
 
 

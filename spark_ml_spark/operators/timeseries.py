@@ -408,3 +408,161 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
         .orderBy("day")
     )
+
+
+@query("q_locf_fill", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1
+),
+cal AS (
+  SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-12-31',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+joined AS (
+  SELECT c.day, d.rev FROM cal c LEFT JOIN d ON d.day = c.day
+),
+filled AS (
+  SELECT day, rev,
+         last_value(rev IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS rev_filled,
+         CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS was_gap
+  FROM joined
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(was_gap) AS BIGINT) AS n_gaps,
+       CAST(sum(rev_filled) AS BIGINT) AS filled_total,
+       CAST(sum(coalesce(rev, 0)) AS BIGINT) AS raw_total
+FROM filled WHERE rev_filled IS NOT NULL
+""")
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap repair over the 1997 daily
+    revenue series: densify to the full calendar (the ``q_gap_fill``
+    primitive), then fill each missing day with the latest prior
+    observation (``last_value IGNORE NULLS`` over an ordered frame) —
+    the standard sensor/finance forward-fill. Reported: day/gap counts
+    and the exact filled-vs-raw totals (their difference IS the imputed
+    mass).
+
+    Scale shape: the calendar is generated in-row (``sequence`` explode
+    of one row, 365 days); the fill window runs on the calendar-bounded
+    single-year series pinned via ``api.one_partition`` — a multi-year
+    or multi-series variant partitions by (series, year) exactly like
+    ``q_cusum_changepoint``. All revenue micro-unit BIGINT."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1997)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-12-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    joined = cal.join(d, "day", "left")
+    w = (
+        Window.partitionBy(api.one_partition("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.select(
+        "day", "rev",
+        F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+        F.col("rev").isNull().cast("int").alias("was_gap"),
+    )
+    return filled.where(F.col("rev_filled").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("was_gap").cast("bigint").alias("n_gaps"),
+        F.sum("rev_filled").cast("bigint").alias("filled_total"),
+        F.sum(F.coalesce("rev", F.lit(0))).cast("bigint").alias("raw_total"),
+    )
+
+
+@query("q_drawdown", oracle=r"""
+WITH d AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT yr, day, rev,
+         CAST(max(rev) OVER (PARTITION BY yr ORDER BY day) AS BIGINT)
+           AS peak
+  FROM d
+),
+dd AS (
+  SELECT yr, day, peak,
+         CAST(floor((peak - rev) * 1000000.0 / peak + 0.5) AS BIGINT)
+           AS dd_ppm
+  FROM w
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY yr
+                               ORDER BY dd_ppm DESC, day) AS rn
+  FROM dd
+)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(day AS VARCHAR) AS worst_day,
+       dd_ppm AS max_drawdown_ppm, peak AS peak_at_worst
+FROM r WHERE rn = 1 ORDER BY yr
+""")
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per year of the daily revenue series: for each
+    day, the ppm drop from the year's running peak; the year's worst
+    day (ties → earliest) and its drawdown — the risk-profile readout
+    (how far below the best day seen so far did we fall?).
+
+    Scale shape: year-partitioned running max over calendar-bounded
+    groups (≤366 rows each, the ``q_cusum_changepoint`` discipline);
+    the argmax is a per-year rank with a deterministic tie-break; all
+    inputs exact micro-unit BIGINTs, one quantized ratio per day."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    wo = Window.partitionBy("yr").orderBy("day")
+    w = d.select(
+        "yr", "day", "rev",
+        F.max("rev").over(wo).cast("bigint").alias("peak"),
+    )
+    dd_ppm = F.floor(
+        (F.col("peak") - F.col("rev")) * 1000000.0 / F.col("peak")
+        + F.lit(0.5)
+    ).cast("bigint")
+    wr = Window.partitionBy("yr").orderBy(dd_ppm.desc(), F.col("day"))
+    r = w.select(
+        "yr", "day", "peak", dd_ppm.alias("dd_ppm"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        r.where(F.col("rn") == 1)
+        .select(
+            F.col("yr").cast("bigint").alias("yr"),
+            F.date_format("day", "yyyy-MM-dd").alias("worst_day"),
+            F.col("dd_ppm").alias("max_drawdown_ppm"),
+            F.col("peak").alias("peak_at_worst"),
+        )
+        .orderBy("yr")
+    )

@@ -225,3 +225,81 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query("q_revenue_bridge", oracle=r"""
+WITH y95 AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY 1
+),
+y96 AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.custkey, b.custkey) AS custkey,
+         coalesce(a.rev, 0) AS r95, coalesce(b.rev, 0) AS r96,
+         CASE WHEN a.custkey IS NULL THEN 'new'
+              WHEN b.custkey IS NULL THEN 'churned'
+              WHEN b.rev > a.rev THEN 'expansion'
+              WHEN b.rev < a.rev THEN 'contraction'
+              ELSE 'flat' END AS bridge
+  FROM y95 a FULL OUTER JOIN y96 b ON a.custkey = b.custkey
+)
+SELECT bridge, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(r96 - r95) AS BIGINT) AS delta_micros
+FROM j GROUP BY bridge ORDER BY bridge
+""")
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY revenue bridge (waterfall decomposition): the 1995→1996
+    revenue change attributed to new / churned / expansion /
+    contraction / flat customer segments — the BI readout behind every
+    "why did revenue move" narrative. The bridge identity holds
+    exactly: Σ delta over segments = total(1996) − total(1995), all in
+    micro-unit BIGINTs.
+
+    Scale shape: two filtered year aggregates at the customer grain
+    (one shuffle each), then a FULL OUTER join on the customer key —
+    the ``q_full_outer_join`` reconciliation shape — and a ≤5-row
+    rollup. Nothing after the joins is corpus-sized."""
+    def year_rev(yr: int) -> DataFrame:
+        return (
+            load(spark, sf_dir, "orders")
+            .where(F.year("o_orderdate") == yr)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                    .cast("bigint")
+                ).cast("bigint").alias("rev")
+            )
+        )
+
+    a = year_rev(1995).select(
+        F.col("custkey").alias("ck95"), F.col("rev").alias("r95")
+    )
+    b = year_rev(1996).select(
+        F.col("custkey").alias("ck96"), F.col("rev").alias("r96")
+    )
+    j = a.join(b, F.col("ck95") == F.col("ck96"), "full_outer").select(
+        F.coalesce("r95", F.lit(0)).alias("r95"),
+        F.coalesce("r96", F.lit(0)).alias("r96"),
+        F.when(F.col("ck95").isNull(), "new")
+        .when(F.col("ck96").isNull(), "churned")
+        .when(F.col("r96") > F.col("r95"), "expansion")
+        .when(F.col("r96") < F.col("r95"), "contraction")
+        .otherwise("flat").alias("bridge"),
+    )
+    return (
+        j.groupBy("bridge")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("r96") - F.col("r95")).cast("bigint")
+            .alias("delta_micros"),
+        )
+        .orderBy("bridge")
+    )

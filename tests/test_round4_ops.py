@@ -827,3 +827,48 @@ def test_mutual_info_information_inequalities(spark, sf_dir):
     assert -1e-4 <= r.nmi <= 1.0 + 1e-4
     assert r.h_seg <= math.log(5) + 1e-6
     assert r.h_pri <= math.log(5) + 1e-6
+
+
+def test_locf_fill_identities(spark, sf_dir):
+    """Filled total >= raw total (fill only adds non-negative carried
+    values); gap count = emitted days minus observed days; emitted days
+    = 365 minus any leading days before the first observation."""
+    r = _QUERIES["q_locf_fill"](spark, sf_dir).collect()[0]
+    obs = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1997)
+        .select(F.to_date("o_orderdate").alias("d")).distinct().count()
+    )
+    assert r.filled_total >= r.raw_total
+    assert r.n_gaps == r.n_days - obs
+    assert r.n_days <= 365
+
+
+def test_drawdown_bounds(spark, sf_dir):
+    """Drawdown ppm in [0, 1e6); worst day inside its year; peak
+    positive."""
+    rows = _QUERIES["q_drawdown"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 <= r.max_drawdown_ppm < 1_000_000
+        assert r.worst_day.startswith(str(r.yr))
+        assert r.peak_at_worst > 0
+
+
+def test_revenue_bridge_sums_to_total_delta(spark, sf_dir):
+    """The bridge identity: segment deltas sum EXACTLY to
+    total(1996) - total(1995) in micro-units."""
+    rows = _QUERIES["q_revenue_bridge"](spark, sf_dir).collect()
+    micro = F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    tot = {
+        y: load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == y)
+        .agg(F.coalesce(F.sum(micro), F.lit(0))).first()[0]
+        for y in (1995, 1996)
+    }
+    assert sum(r.delta_micros for r in rows) == tot[1996] - tot[1995]
+    assert set(r.bridge for r in rows) <= {
+        "new", "churned", "expansion", "contraction", "flat"
+    }
