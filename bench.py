@@ -235,6 +235,10 @@ HEADLINE = (
     "q_locf_fill",
     "q_drawdown",
     "q_revenue_bridge",
+    # round-4 wave 42: sliced AUC, disparate impact, power analysis
+    "q_auc_by_slice",
+    "q_disparate_impact",
+    "q_power_analysis",
 )
 
 

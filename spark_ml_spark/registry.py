@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.warehouse_ops",
     "spark_ml_spark.operators.frontier",
     "spark_ml_spark.operators.integrity",
+    "spark_ml_spark.operators.fairness_eval",
 )
 
 

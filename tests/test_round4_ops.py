@@ -872,3 +872,48 @@ def test_revenue_bridge_sums_to_total_delta(spark, sf_dir):
     assert set(r.bridge for r in rows) <= {
         "new", "churned", "expansion", "contraction", "flat"
     }
+
+
+def test_auc_by_slice_bounds_and_coverage(spark, sf_dir):
+    """Every language appears once, AUC in [0,1], and slice pos+neg
+    counts sum to the corpus size."""
+    rows = _QUERIES["q_auc_by_slice"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_pos + r.n_neg for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r.auc <= 1.0
+        assert r.n_pos > 0 and r.n_neg > 0
+
+
+def test_disparate_impact_reference_group(spark, sf_dir):
+    """Exactly the best-rate group(s) sit at 1e6 ppm ratio, no ratio
+    exceeds 1e6, and a flag fires iff ratio < 800000."""
+    rows = _QUERIES["q_disparate_impact"](spark, sf_dir).collect()
+    assert max(r.di_ratio_ppm for r in rows) == 1_000_000
+    for r in rows:
+        assert r.di_ratio_ppm <= 1_000_000
+        assert r.four_fifths_flag == (1 if r.di_ratio_ppm < 800_000 else 0)
+
+
+def test_power_analysis_closed_form(spark, sf_dir):
+    """Recompute the required n from the reported base rate in Python —
+    must agree exactly (same closed form, ceil of the same double)."""
+    import math
+
+    r = _QUERIES["q_power_analysis"](spark, sf_dir).collect()[0]
+    # recompute from exact counts, not the quantized ppm
+    u = (
+        load(spark, sf_dir, "events")
+        .select("user_id",
+                ((F.col("event_type") == "purchase")
+                 & (F.col("value") > 150.0)).cast("int").alias("p"))
+        .groupBy("user_id").agg(F.max("p").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("k"))
+        .first()
+    )
+    p1 = u.k / u.n
+    p2 = p1 + 0.05
+    z2 = (1.959964 + 0.841621) ** 2
+    expect = math.ceil(z2 * (p1 * (1 - p1) + p2 * (1 - p2)) / 0.0025)
+    assert r.n_per_arm == expect
+    assert r.powered == (1 if u.n / 2 >= expect else 0)
