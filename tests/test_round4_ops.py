@@ -917,3 +917,44 @@ def test_power_analysis_closed_form(spark, sf_dir):
     expect = math.ceil(z2 * (p1 * (1 - p1) + p2 * (1 - p2)) / 0.0025)
     assert r.n_per_arm == expect
     assert r.powered == (1 if u.n / 2 >= expect else 0)
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    """A+B+C part counts equal the part-grain row count, revenues sum
+    to total lineitem revenue, and class A's revenue share >= class
+    C's per-part average share (Pareto ordering)."""
+    rows = {r.abc: r for r in
+            _QUERIES["q_abc_classification"](spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    micro = F.floor(
+        F.col("l_extendedprice") * 1000000.0 + F.lit(0.5)
+    ).cast("bigint")
+    li = load(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    total = li.agg(F.sum(micro)).first()[0]
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert sum(r.rev_micros for r in rows.values()) == total
+    if "C" in rows:
+        a = rows["A"]
+        c = rows["C"]
+        assert a.rev_micros / a.n_parts > c.rev_micros / c.n_parts
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI in (10000/n, 10000]: between perfectly even and monopoly."""
+    rows = _QUERIES["q_hhi_concentration"](spark, sf_dir).collect()
+    for r in rows:
+        assert 10000 // r.n_nations <= r.hhi_bp <= 10000
+
+
+def test_backlog_aging_accounts_open_orders(spark, sf_dir):
+    """Bucket masses sum to the open-order count and values to the
+    exact open-order micro total."""
+    rows = _QUERIES["q_backlog_aging"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    micro = F.floor(
+        F.col("o_totalprice") * 1000000.0 + F.lit(0.5)
+    ).cast("bigint")
+    assert sum(r.n_orders for r in rows) == o.count()
+    assert sum(r.value_micros for r in rows) == o.agg(F.sum(micro)).first()[0]
+    assert all(0 <= r.age_bucket_q <= 8 for r in rows)
