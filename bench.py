@@ -243,6 +243,9 @@ HEADLINE = (
     "q_abc_classification",
     "q_hhi_concentration",
     "q_backlog_aging",
+    # round-4 wave 44: Kaplan-Meier survival, inter-arrival gaps
+    "q_survival_km",
+    "q_interarrival",
 )
 
 

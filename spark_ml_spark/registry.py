@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.frontier",
     "spark_ml_spark.operators.integrity",
     "spark_ml_spark.operators.fairness_eval",
+    "spark_ml_spark.operators.survival",
 )
 
 

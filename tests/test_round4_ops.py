@@ -958,3 +958,29 @@ def test_backlog_aging_accounts_open_orders(spark, sf_dir):
     assert sum(r.n_orders for r in rows) == o.count()
     assert sum(r.value_micros for r in rows) == o.agg(F.sum(micro)).first()[0]
     assert all(0 <= r.age_bucket_q <= 8 for r in rows)
+
+
+def test_survival_km_is_monotone_proper(spark, sf_dir):
+    """S is non-increasing in time, within (0, 1]; at-risk counts are
+    non-increasing; the first quarter's at-risk equals the customer
+    count (everyone is at risk at t=0)."""
+    rows = _QUERIES["q_survival_km"](spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert rows[0].n_at_risk == n_cust
+    surv = [r.survival for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert all(0.0 < s <= 1.0 for s in surv)
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    assert all(r.n_events <= r.n_at_risk for r in rows)
+
+
+def test_interarrival_percentiles_ordered(spark, sf_dir):
+    """Quartiles are ordered, gaps are positive-or-zero whole days, and
+    n_gaps = orders - customers (each customer contributes n-1 gaps)."""
+    r = _QUERIES["q_interarrival"](spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    assert r.n_gaps == o.count() - o.select("o_custkey").distinct().count()
+    assert 0 <= r.p25 <= r.p50 <= r.p75 <= r.p90
