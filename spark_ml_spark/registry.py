@@ -76,6 +76,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: round). 44 + 6 = 50: after r4 every registered-as-of-r3 query has at
 #: least one driver CORRECTNESS row. Queries added during r4 register
 #: after the window and are the r5 rotation's front of queue.
+#:
+#: r5 ROTATION NOTE: r4 added 69 queries (waves 19-44: geo, modern SQL,
+#: corpus, warehouse, oracle-exact ML, retrieval, mining, inference,
+#: time series, graph structure, customer analytics, behavior, set ops,
+#: frontier, recsys/JL/density, integrity, fairness/eval, survival) —
+#: none have a driver row yet. 69 > 50, so r5 should fill all 50 slots
+#: from them (keep 0-2 anchors at most) and r6 takes the remainder;
+#: compute the exact never-graded set programmatically as
+#: ``registered − union(CORRECTNESS_r0*.json keys)`` as r4 did.
 _GRADED_WINDOW = (
     # --- never graded: wave 4-5 (mixture budgeting, clamping, bloom
     # prefilter, fixed-K sampling) ---
