@@ -246,6 +246,10 @@ HEADLINE = (
     # round-4 wave 44: Kaplan-Meier survival, inter-arrival gaps
     "q_survival_km",
     "q_interarrival",
+    # round-4 wave 45: trend slope, volatility, user entropy
+    "q_trend_slope",
+    "q_volatility",
+    "q_user_entropy",
 )
 
 

@@ -235,3 +235,58 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("n_neg")
     )
+
+
+@query("q_user_entropy", oracle=r"""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+terms AS (
+  SELECT c.user_id,
+         CAST(sum(CAST(floor(-(CAST(c.c AS DOUBLE) / t.n)
+                             * ln(CAST(c.c AS DOUBLE) / t.n)
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS ent_micro
+  FROM c JOIN tot t ON c.user_id = t.user_id
+  GROUP BY c.user_id
+)
+SELECT CAST(ent_micro // 100000 AS BIGINT) AS ent_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM terms GROUP BY 1 ORDER BY ent_bucket
+""")
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: per-user Shannon entropy of the
+    event-type mix, bucketed in 0.1-nat bands. Uniform users (entropy
+    near ln 5 ≈ 1.609) sit in bucket 16; single-behavior users in
+    bucket 0 — the engagement-mix segmentation signal.
+
+    Engine exactness: each −p·ln p TERM is quantized to integer
+    micro-nats BEFORE summation (the ``q_lm_score`` discipline), so the
+    per-user entropy is an exact BIGINT sum — float summation order can
+    never flip a bucket boundary, unlike summing doubles then flooring.
+
+    Scale shape: one (user, type) aggregate (map-side combined), the
+    per-user total joined back ON THE USER KEY (co-partitioned with the
+    term reduce), a ≤17-row histogram out."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = c.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.floor(-p * F.log(p) * 1000000.0 + F.lit(0.5)).cast("bigint")
+    terms = (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(F.sum(term).cast("bigint").alias("ent_micro"))
+    )
+    return (
+        terms.groupBy(
+            F.expr("CAST(ent_micro DIV 100000 AS BIGINT)").alias("ent_bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("ent_bucket")
+    )

