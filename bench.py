@@ -250,6 +250,10 @@ HEADLINE = (
     "q_trend_slope",
     "q_volatility",
     "q_user_entropy",
+    # round-4 wave 46: segment migration, new-vs-repeat, value deciles
+    "q_segment_migration",
+    "q_new_vs_repeat",
+    "q_value_deciles",
 )
 
 

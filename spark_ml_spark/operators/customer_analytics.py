@@ -270,3 +270,212 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("w.nl")).cast("bigint").alias("pred_label"),
         F.col("w.votes").alias("votes"),
     ).orderBy("q_id")
+
+
+@query("q_segment_migration", oracle=r"""
+WITH y AS (
+  SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS monet
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT custkey, yr, monet,
+         row_number() OVER (PARTITION BY yr ORDER BY monet, custkey) AS rnk,
+         count(*) OVER (PARTITION BY yr) AS n
+  FROM y
+),
+q AS (
+  SELECT custkey, yr,
+         CAST((rnk - 1) * 4 // n + 1 AS BIGINT) AS quartile
+  FROM r
+)
+SELECT a.quartile AS q_1995, b.quartile AS q_1996,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM q a JOIN q b ON a.custkey = b.custkey
+WHERE a.yr = 1995 AND b.yr = 1996
+GROUP BY 1, 2 ORDER BY q_1995, q_1996
+""")
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile migration matrix 1995→1996: customers active in
+    both years, quartiled per year by exact rank (same integer bucket
+    arithmetic as ``q_rfm_segments``), cross-tabulated into the 4×4
+    transition matrix — the customer-value migration readout behind
+    upgrade/downgrade narratives (a discrete sibling of
+    ``q_transition_matrix``'s event Markov chain).
+
+    Scale shape: per-year customer-grain aggregates (one shuffle), two
+    ``api.global_rank`` passes (per-year, range-partitioned), an
+    equi-join on the customer key, a ≤16-row rollup."""
+    y = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("monet")
+        )
+    )
+
+    def quart(yr: int) -> DataFrame:
+        ranked = api.global_rank(
+            y.where(F.col("yr") == yr).drop("yr"),
+            ["monet", "custkey"], rank_col="rnk", total_col="n",
+        )
+        return ranked.select(
+            "custkey",
+            (F.floor((F.col("rnk") - 1) * 4 / F.col("n")) + 1)
+            .cast("bigint").alias(f"q_{yr}"),
+        )
+
+    return (
+        quart(1995).join(quart(1996), "custkey")
+        .groupBy("q_1995", "q_1996")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("q_1995", "q_1996")
+    )
+
+
+@query("q_new_vs_repeat", oracle=r"""
+WITH first_mon AS (
+  SELECT o_custkey AS custkey,
+         min(date_trunc('month', CAST(o_orderdate AS DATE))) AS fm
+  FROM orders GROUP BY 1
+),
+o AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+         o_custkey AS custkey,
+         CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+)
+SELECT CAST(o.mon AS VARCHAR) AS mon,
+       CAST(sum(CASE WHEN f.fm = o.mon THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_orders,
+       CAST(sum(CASE WHEN f.fm < o.mon THEN 1 ELSE 0 END) AS BIGINT)
+         AS repeat_orders,
+       CAST(sum(CASE WHEN f.fm = o.mon THEN m ELSE 0 END) AS BIGINT)
+         AS new_rev_micros,
+       CAST(sum(CASE WHEN f.fm < o.mon THEN m ELSE 0 END) AS BIGINT)
+         AS repeat_rev_micros
+FROM o JOIN first_mon f ON o.custkey = f.custkey
+GROUP BY o.mon ORDER BY mon
+""")
+def q_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition mix for 1998: per month, orders and exact revenue
+    from NEW customers (their first-ever order month is this month) vs
+    REPEAT customers — the growth-quality readout ("is revenue new
+    demand or the existing base?").
+
+    Scale shape: the first-order month is one customer-grain aggregate
+    (broadcastable dimension), joined onto the filtered fact scan by
+    customer key; the rollup is month-grain. All classification is on
+    exact month keys — no window over the fact stream."""
+    first_mon = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(F.date_trunc("month", F.to_date("o_orderdate")))
+            .alias("fm")
+        )
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1998)
+        .select(
+            F.date_trunc("month", F.to_date("o_orderdate")).alias("mon"),
+            F.col("o_custkey").alias("custkey"),
+            F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+            .cast("bigint").alias("m"),
+        )
+    )
+    is_new = F.col("fm") == F.col("mon")
+    is_rep = F.col("fm") < F.col("mon")
+    return (
+        o.join(F.broadcast(first_mon), "custkey")
+        .groupBy("mon")
+        .agg(
+            F.sum(is_new.cast("int")).cast("bigint").alias("new_orders"),
+            F.sum(is_rep.cast("int")).cast("bigint").alias("repeat_orders"),
+            F.sum(F.when(is_new, F.col("m")).otherwise(0))
+            .cast("bigint").alias("new_rev_micros"),
+            F.sum(F.when(is_rep, F.col("m")).otherwise(0))
+            .cast("bigint").alias("repeat_rev_micros"),
+        )
+        .select(
+            F.date_format("mon", "yyyy-MM-dd").alias("mon"),
+            "new_orders", "repeat_orders",
+            "new_rev_micros", "repeat_rev_micros",
+        )
+        .orderBy("mon")
+    )
+
+
+@query("q_value_deciles", oracle=r"""
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS monet
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT monet,
+         row_number() OVER (ORDER BY monet, custkey) AS rnk,
+         count(*) OVER () AS n,
+         CAST(sum(monet) OVER () AS BIGINT) AS total
+  FROM m
+)
+SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monet) AS BIGINT) AS rev_micros,
+       CAST(floor(sum(monet) * 1000000.0 / max(total) + 0.5) AS BIGINT)
+         AS share_ppm
+FROM r GROUP BY 1 ORDER BY decile
+""")
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile report (the Lorenz table behind
+    ``q_gini_index``'s single number): customers exactly ranked by
+    lifetime spend, bucketed into 10 equal-count deciles with each
+    decile's exact revenue and ppm share — "the top decile is X% of
+    revenue", the marketing-prioritization staple.
+
+    Scale shape: customer-grain aggregate → ``api.global_rank``
+    (two-phase, no single-partition window) → 10-row rollup with a
+    broadcast total; pure integers until one quantized share per
+    decile."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("monet")
+        )
+    )
+    ranked = api.global_rank(
+        m, ["monet", "custkey"], rank_col="rnk", total_col="n"
+    )
+    tot = m.agg(F.sum("monet").cast("bigint").alias("total"))
+    return (
+        ranked.select(
+            "monet",
+            (F.floor((F.col("rnk") - 1) * 10 / F.col("n")) + 1)
+            .cast("bigint").alias("decile"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monet").cast("bigint").alias("rev_micros"),
+            F.floor(
+                F.sum("monet") * 1000000.0 / F.max("total") + F.lit(0.5)
+            ).cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -1028,3 +1028,54 @@ def test_user_entropy_histogram_bounds(spark, sf_dir):
     n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert sum(r.n_users for r in rows) == n_users
     assert all(0 <= r.ent_bucket <= 16 for r in rows)
+
+
+def test_segment_migration_marginals(spark, sf_dir):
+    """Cell masses sum to the both-years customer count and the matrix
+    covers only quartiles 1..4."""
+    rows = _QUERIES["q_segment_migration"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    both = (
+        o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+        .intersect(
+            o.where(F.year("o_orderdate") == 1996)
+            .select("o_custkey").distinct()
+        )
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == both
+    for r in rows:
+        assert 1 <= r.q_1995 <= 4 and 1 <= r.q_1996 <= 4
+
+
+def test_new_vs_repeat_partitions_orders(spark, sf_dir):
+    """new + repeat orders per month must equal the month's order count
+    (every 1998 order is one or the other — first month ties are NEW)."""
+    rows = _QUERIES["q_new_vs_repeat"](spark, sf_dir).collect()
+    per_month = {
+        r.mon: r.n
+        for r in load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1998)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM-dd"
+            ).alias("mon")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.mon for r in rows} == set(per_month)
+    for r in rows:
+        assert r.new_orders + r.repeat_orders == per_month[r.mon]
+
+
+def test_value_deciles_lorenz_shape(spark, sf_dir):
+    """Ten deciles (equal counts ±1), shares non-decreasing in decile
+    (ascending spend rank), total share ≈ 1e6 ppm."""
+    rows = _QUERIES["q_value_deciles"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    counts = [r.n_customers for r in rows]
+    assert max(counts) - min(counts) <= 1
+    shares = [r.share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert abs(sum(shares) - 1_000_000) <= 10
