@@ -254,6 +254,10 @@ HEADLINE = (
     "q_segment_migration",
     "q_new_vs_repeat",
     "q_value_deciles",
+    # round-4 wave 47: ANOVA, price elasticity, duplicate payments
+    "q_anova_dow",
+    "q_price_elasticity",
+    "q_duplicate_payments",
 )
 
 

@@ -258,3 +258,48 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mi") / F.sqrt(F.col("h_seg") * F.col("h_pri")), 4
         ).alias("nmi"),
     )
+
+
+@query("q_duplicate_payments", oracle=r"""
+WITH k AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2, 3
+),
+dups AS (SELECT * FROM k WHERE n > 1)
+SELECT CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_dup_groups,
+       CAST(coalesce((SELECT sum(n) FROM dups), 0) AS BIGINT)
+         AS n_dup_orders,
+       CAST(coalesce((SELECT sum((n - 1) * cents) FROM dups), 0) AS BIGINT)
+         AS exposure_cents
+""")
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: orders sharing (customer, exact
+    cent amount, day) — the classic accounts-payable audit. Reported:
+    duplicate groups, member orders, and the EXPOSURE (cents that would
+    be recovered if every duplicate beyond the first per group were
+    reversed). Exact cent quantization makes the composite key
+    engine-portable; no float equality anywhere.
+
+    Scale shape: one map-side-combined group-by on the composite key
+    (uniform md5-like distribution — customer×amount×day), a filtered
+    ≤dup-sized aggregate after it."""
+    k = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("bigint").alias("cents"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dups = k.where(F.col("n") > 1)
+    return dups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_dup_orders"),
+        F.coalesce(F.sum((F.col("n") - 1) * F.col("cents")), F.lit(0))
+        .cast("bigint").alias("exposure_cents"),
+    )

@@ -620,3 +620,165 @@ def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("gini_ppm"),
     )
+
+
+@query("q_anova_dow", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT dayname(day) AS dow, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(rev) AS BIGINT) AS s_g,
+         sum(CAST(rev AS HUGEINT) * rev) AS q_g
+  FROM d GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s_g) AS BIGINT) AS s, sum(q_g) AS q,
+         sum(CAST(s_g AS DOUBLE) * s_g / n_g) AS sb_terms
+  FROM g
+)
+SELECT n, k,
+       CAST(floor((sb_terms - CAST(s AS DOUBLE) * s / n)
+                  / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  * 1000000.0 + 0.5) AS BIGINT) AS eta2_ppm,
+       round(((sb_terms - CAST(s AS DOUBLE) * s / n) / (k - 1))
+             / (((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 - (sb_terms - CAST(s AS DOUBLE) * s / n)) / (n - k)), 4)
+         AS f_stat
+FROM m
+""")
+def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue by day-of-week: between-group vs
+    within-group variance decomposition — η² (the seasonal share of
+    variance, in ppm) and the F statistic. The variance-decomposition
+    complement to ``q_seasonality_index``'s mean indices and the
+    k-group generalization of ``q_welch_ttest``.
+
+    Engine exactness: group moments are exact (BIGINT sums,
+    DECIMAL(38,0)/HUGEINT sums of squares); the closed forms combine
+    ~7 same-signed double terms from those exact partials, so
+    summation-order noise is ~1e-16-relative — far inside the ppm
+    quantization and the 4-dp round. Scale shape: day-grain aggregate →
+    7-row group moments → single-row arithmetic."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    g = d.groupBy(F.date_format("day", "EEEE").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("rev").cast("bigint").alias("s_g"),
+        F.sum(
+            F.col("rev").cast("decimal(38,0)") * F.col("rev").cast("decimal(38,0)")
+        ).alias("q_g"),
+    )
+    m = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).alias("sb_terms"),
+    )
+    ssb = F.col("sb_terms") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = sst - ssb
+    return m.select(
+        "n", "k",
+        F.floor(ssb / sst * 1000000.0 + F.lit(0.5)).cast("bigint")
+        .alias("eta2_ppm"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+        ).alias("f_stat"),
+    )
+
+
+@query("q_price_elasticity", oracle=r"""
+WITH p AS (
+  SELECT l_partkey,
+         CAST(floor(ln(CAST(sum(CAST(floor(l_extendedprice * 1000000.0
+                                           + 0.5) AS BIGINT)) AS DOUBLE)
+                       / sum(l_quantity) / 1000000.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS lx,
+         CAST(floor(ln(CAST(sum(l_quantity) AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS ly
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+         sum(CAST(lx AS HUGEINT) * ly) AS sxy
+  FROM p
+)
+SELECT n AS n_parts,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx), 4) AS elasticity
+FROM m
+""")
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand across parts: OLS slope of
+    ln(total quantity) on ln(mean unit price) at the part grain — the
+    canonical elasticity estimate (slope ≈ %Δquantity per %Δprice).
+
+    Engine exactness: each part's two LOG VALUES are quantized to
+    integer micro-nats BEFORE any summation (the ``q_lm_score``
+    discipline), so the OLS sufficient statistics are exact
+    BIGINT/DECIMAL(38,0) sums — float order never touches an
+    accumulator; the closed-form slope is one double expression.
+    Scale shape: one part-grain aggregate (map-side combined), one
+    5-number single-row aggregate."""
+    micro = F.floor(
+        F.col("l_extendedprice") * 1000000.0 + F.lit(0.5)
+    ).cast("bigint")
+    p = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(micro).cast("bigint").alias("rev_micro"),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .select(
+            F.floor(
+                F.log(
+                    F.col("rev_micro").cast("double") / F.col("qty")
+                    / 1000000.0
+                ) * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint").alias("lx"),
+            F.floor(
+                F.log(F.col("qty").cast("double")) * 1000000.0 + F.lit(0.5)
+            ).cast("bigint").alias("ly"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(dec("lx") * dec("lx")).alias("sxx"),
+        F.sum(dec("lx") * dec("ly")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_parts"),
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (nd * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx")),
+            4,
+        ).alias("elasticity"),
+    )

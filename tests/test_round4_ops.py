@@ -1079,3 +1079,50 @@ def test_value_deciles_lorenz_shape(spark, sf_dir):
     shares = [r.share_ppm for r in rows]
     assert shares == sorted(shares)
     assert abs(sum(shares) - 1_000_000) <= 10
+
+
+def test_anova_identities(spark, sf_dir):
+    """eta2 in [0, 1e6]; F >= 0; k = 7 dow groups; n equals distinct
+    order days."""
+    r = _QUERIES["q_anova_dow"](spark, sf_dir).collect()[0]
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate")).distinct().count()
+    )
+    assert r.n == n_days and r.k == 7
+    assert 0 <= r.eta2_ppm <= 1_000_000
+    assert r.f_stat >= 0
+
+
+def test_price_elasticity_finite(spark, sf_dir):
+    """The slope exists (variance in log price > 0) and covers all
+    parts."""
+    r = _QUERIES["q_price_elasticity"](spark, sf_dir).collect()[0]
+    n_parts = (
+        load(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert r.n_parts == n_parts
+    assert r.elasticity is not None
+    assert abs(r.elasticity) < 100
+
+
+def test_duplicate_payments_recompute(spark, sf_dir):
+    """Recompute the duplicate-group count independently with a pandas
+    groupby over the composite key."""
+    r = _QUERIES["q_duplicate_payments"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).alias("cents"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    c = Counter((x.o_custkey, x.cents, x.day) for x in rows)
+    dups = {k: v for k, v in c.items() if v > 1}
+    assert r.n_dup_groups == len(dups)
+    assert r.n_dup_orders == sum(dups.values())
+    assert r.exposure_cents == sum((v - 1) * k[1] for k, v in dups.items())
