@@ -258,6 +258,9 @@ HEADLINE = (
     "q_anova_dow",
     "q_price_elasticity",
     "q_duplicate_payments",
+    # round-4 wave 48: runs test, forecast skill
+    "q_runs_test",
+    "q_forecast_skill",
 )
 
 

@@ -782,3 +782,96 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("elasticity"),
     )
+
+
+@query("q_runs_test", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM d),
+s AS (
+  SELECT day, CASE WHEN x > m THEN 1 WHEN x < m THEN 0 END AS sgn
+  FROM d, med WHERE x <> m
+),
+runs AS (
+  SELECT sgn,
+         CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                   OR lag(sgn) OVER (ORDER BY day) <> sgn
+              THEN 1 ELSE 0 END AS new_run
+  FROM s
+),
+m2 AS (
+  SELECT CAST(sum(new_run) AS BIGINT) AS r,
+         CAST(sum(sgn) AS BIGINT) AS n1,
+         CAST(count(*) - sum(sgn) AS BIGINT) AS n2
+  FROM runs
+)
+SELECT r AS n_runs, n1, n2,
+       round((CAST(r AS DOUBLE)
+              - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                       * (n1 + n2 - 1))), 4) AS z_score
+FROM m2
+""")
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily revenue
+    series around its median (micro-unit revenue varies at every
+    scale, unlike the degenerate small-fixture order counts): runs of
+    consecutive above/below-median days counted exactly (median-equal days dropped, the standard
+    convention), z from the closed-form run-count moments. Too FEW runs
+    means the series is trending/autocorrelated (see ``q_autocorr``);
+    too many means oscillation — the nonparametric randomness screen.
+
+    Scale shape: day-grain aggregate; the run-boundary lag runs on the
+    calendar-bounded day series pinned via ``api.one_partition``; one
+    closed-form row out of exact BIGINTs."""
+    from pyspark.sql import Window
+
+    from spark_ml_spark import api as _api
+
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("x")
+        )
+    )
+    med = d.agg(F.percentile("x", F.lit(0.5)).alias("m"))
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("m"))
+        .select(
+            "day", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("sgn")
+        )
+    )
+    w = Window.partitionBy(_api.one_partition("day")).orderBy("day")
+    runs = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    m2 = runs.agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("sgn").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("bigint").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return m2.select(
+        r.alias("n_runs"), "n1", "n2",
+        F.round((r.cast("double") - mu) / F.sqrt(var), 4).alias("z_score"),
+    )

@@ -709,3 +709,73 @@ def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_diffs"),
         F.round(vol / 1000000.0, 4).alias("volatility"),
     ).orderBy("yr")
+
+
+@query("q_forecast_skill", oracle=r"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.x AS actual, b1.x AS naive1, b7.x AS naive7
+  FROM d a
+  JOIN d b1 ON b1.day = a.day - 1
+  JOIN d b7 ON b7.day = a.day - 7
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(actual - naive1 AS HUGEINT) * (actual - naive1)) AS sse1,
+         sum(CAST(actual - naive7 AS HUGEINT) * (actual - naive7)) AS sse7
+  FROM p
+)
+SELECT n AS n_days,
+       round(sqrt(CAST(sse1 AS DOUBLE) / n), 4) AS rmse_naive1,
+       round(sqrt(CAST(sse7 AS DOUBLE) / n), 4) AS rmse_naive7,
+       round(sqrt(CAST(sse7 AS DOUBLE)) / sqrt(CAST(sse1 AS DOUBLE)), 4)
+         AS theil_u
+FROM m
+""")
+def q_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill comparison on the daily order series: RMSE of the
+    lag-1 naive forecast vs the lag-7 seasonal-naive forecast over days
+    where BOTH comparators exist, plus their Theil-U-style ratio
+    (< 1 ⇒ the weekly-seasonal forecast beats persistence — the
+    baseline bar any real model must clear, and the decision input for
+    ``q_ewma_forecast``'s smoothing horizon).
+
+    Engine exactness: forecast errors are exact BIGINT differences via
+    calendar equi-joins (the ``q_autocorr`` lag-as-join discipline, no
+    windows); squared-error sums accumulate in DECIMAL(38,0)/HUGEINT;
+    three float expressions out. Scale shape: day-grain aggregate +
+    two self equi-joins on the calendar-sized table."""
+    d = _daily_counts(spark, sf_dir)
+    a, b1, b7 = d.alias("a"), d.alias("b1"), d.alias("b7")
+    p = (
+        a.join(b1, F.col("b1.day") == F.date_sub(F.col("a.day"), 1))
+        .join(b7, F.col("b7.day") == F.date_sub(F.col("a.day"), 7))
+        .select(
+            F.col("a.x").alias("actual"),
+            F.col("b1.x").alias("naive1"),
+            F.col("b7.x").alias("naive7"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e1 = F.col("actual") - F.col("naive1")
+    e7 = F.col("actual") - F.col("naive7")
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(e1) * dec(e1)).alias("sse1"),
+        F.sum(dec(e7) * dec(e7)).alias("sse7"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(F.sqrt(F.col("sse1").cast("double") / F.col("n")), 4)
+        .alias("rmse_naive1"),
+        F.round(F.sqrt(F.col("sse7").cast("double") / F.col("n")), 4)
+        .alias("rmse_naive7"),
+        F.round(
+            F.sqrt(F.col("sse7").cast("double"))
+            / F.sqrt(F.col("sse1").cast("double")),
+            4,
+        ).alias("theil_u"),
+    )

@@ -1126,3 +1126,21 @@ def test_duplicate_payments_recompute(spark, sf_dir):
     assert r.n_dup_groups == len(dups)
     assert r.n_dup_orders == sum(dups.values())
     assert r.exposure_cents == sum((v - 1) * k[1] for k, v in dups.items())
+
+
+def test_runs_test_counts_consistent(spark, sf_dir):
+    """Run count within [1, n1+n2]; each sign class non-empty on the
+    revenue series; z finite."""
+    r = _QUERIES["q_runs_test"](spark, sf_dir).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    assert 1 <= r.n_runs <= r.n1 + r.n2
+    assert r.z_score == r.z_score  # not NaN
+
+
+def test_forecast_skill_ratio_identity(spark, sf_dir):
+    """theil_u must equal rmse_naive7 / rmse_naive1 to 4dp and both
+    RMSEs are positive."""
+    r = _QUERIES["q_forecast_skill"](spark, sf_dir).collect()[0]
+    assert r.rmse_naive1 > 0 and r.rmse_naive7 > 0
+    assert abs(r.theil_u - r.rmse_naive7 / r.rmse_naive1) < 5e-3
+    assert r.n_days > 0
