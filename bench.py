@@ -258,6 +258,9 @@ HEADLINE = (
     "q_anova_dow",
     "q_price_elasticity",
     "q_duplicate_payments",
+    # round-5 wave 49: FastSS edit-distance join, deterministic group mode
+    "q_edit_distance_join",
+    "q_mode_stat",
     # round-4 wave 48: runs test, forecast skill
     "q_runs_test",
     "q_forecast_skill",
