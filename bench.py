@@ -264,6 +264,9 @@ HEADLINE = (
     # round-4 wave 48: runs test, forecast skill
     "q_runs_test",
     "q_forecast_skill",
+    # round-5 wave 50: MERGE accounting, CDC last-op-wins apply
+    "q_merge_upsert",
+    "q_cdc_apply",
 )
 
 

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.fairness_eval",
     "spark_ml_spark.operators.survival",
     "spark_ml_spark.operators.fuzzy",
+    "spark_ml_spark.operators.mergeops",
 )
 
 
