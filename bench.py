@@ -267,6 +267,10 @@ HEADLINE = (
     # round-5 wave 50: MERGE accounting, CDC last-op-wins apply
     "q_merge_upsert",
     "q_cdc_apply",
+    # round-5 wave 51: robust & resampling statistics
+    "q_theilsen_slope",
+    "q_kruskal_wallis",
+    "q_poisson_bootstrap",
 )
 
 

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.survival",
     "spark_ml_spark.operators.fuzzy",
     "spark_ml_spark.operators.mergeops",
+    "spark_ml_spark.operators.robuststats",
 )
 
 
