@@ -271,6 +271,9 @@ HEADLINE = (
     "q_theilsen_slope",
     "q_kruskal_wallis",
     "q_poisson_bootstrap",
+    # round-5 wave 52: link prediction & local clustering
+    "q_link_prediction",
+    "q_local_clustering",
 )
 
 
