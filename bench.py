@@ -274,6 +274,10 @@ HEADLINE = (
     # round-5 wave 52: link prediction & local clustering
     "q_link_prediction",
     "q_local_clustering",
+    # round-5 wave 53: decision stump, ridge path, k-fold CV
+    "q_decision_stump",
+    "q_ridge_path",
+    "q_kfold_cv",
 )
 
 

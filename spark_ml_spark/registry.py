@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.mergeops",
     "spark_ml_spark.operators.robuststats",
     "spark_ml_spark.operators.graph_linkpred",
+    "spark_ml_spark.operators.mlextra",
 )
 
 
