@@ -278,6 +278,10 @@ HEADLINE = (
     "q_decision_stump",
     "q_ridge_path",
     "q_kfold_cv",
+    # round-5 wave 54: SQL-dialect surface
+    "q_sql_pivot",
+    "q_sql_lateral_explode",
+    "q_sql_groupby_all",
 )
 
 

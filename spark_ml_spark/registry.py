@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.robuststats",
     "spark_ml_spark.operators.graph_linkpred",
     "spark_ml_spark.operators.mlextra",
+    "spark_ml_spark.operators.sqlsurface",
 )
 
 
