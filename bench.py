@@ -282,6 +282,9 @@ HEADLINE = (
     "q_sql_pivot",
     "q_sql_lateral_explode",
     "q_sql_groupby_all",
+    # round-5 wave 55: t-closeness audit, lagged cross-correlation
+    "q_t_closeness",
+    "q_cross_correlation",
 )
 
 

@@ -1268,3 +1268,166 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(below, F.col("grp")).otherwise(0)).cast("long")
         .alias("rows_below_l"),
     )
+
+
+#: t-closeness: sensitive-attribute buckets are DOMAIN-FIXED unit-width
+#: account-balance bands (floor((bal+1000)/1000) over the TPC-H domain
+#: [-999.99, 9999.99] -> 0..10) so the bucketing never depends on the
+#: data; m = 11 ordered buckets
+_TCLOSE_BUCKETS = 11
+
+#: report cut: worst classes first
+_TCLOSE_K = 15
+
+
+@query("q_t_closeness", oracle=rf"""
+WITH obs AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(floor((c_acctbal + 1000.0) / 1000.0) AS BIGINT) AS b
+  FROM customer
+),
+classes AS (
+  SELECT seg, nat, CAST(count(*) AS BIGINT) AS n_g FROM obs GROUP BY 1, 2
+),
+grid AS (
+  SELECT c.seg, c.nat, c.n_g, g.b
+  FROM classes c JOIN (SELECT unnest(range(0, {_TCLOSE_BUCKETS})) AS b) g
+    ON TRUE
+),
+qc AS (
+  SELECT seg, nat, b, CAST(count(*) AS BIGINT) AS n_b
+  FROM obs GROUP BY 1, 2, 3
+),
+qcum AS (
+  SELECT g.seg, g.nat, g.n_g, g.b,
+         CAST(sum(coalesce(qc.n_b, 0)) OVER (
+           PARTITION BY g.seg, g.nat ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_q
+  FROM grid g LEFT JOIN qc ON qc.seg = g.seg AND qc.nat = g.nat
+                          AND qc.b = g.b
+),
+pcum AS (
+  SELECT b, CAST(sum(n) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_p,
+         CAST(sum(n) OVER () AS BIGINT) AS n_tot
+  FROM (SELECT b, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY b)
+),
+terms AS (
+  SELECT q.seg, q.nat, q.n_g,
+         CAST(floor(abs(CAST(q.cum_q AS DOUBLE) / q.n_g
+                        - CAST(p.cum_p AS DOUBLE) / p.n_tot)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS d_nano
+  FROM qcum q JOIN pcum p ON p.b = q.b
+  WHERE q.b < {_TCLOSE_BUCKETS - 1}
+)
+SELECT seg, nat, n_g,
+       CAST(sum(d_nano) // {(_TCLOSE_BUCKETS - 1) * 1000} AS BIGINT)
+         AS t_ppm
+FROM terms
+GROUP BY seg, nat, n_g
+ORDER BY t_ppm DESC, seg, nat
+LIMIT {_TCLOSE_K}
+""")
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    skewness-attack complement of ``q_k_anonymity``/``q_l_diversity``:
+    a class can be k-anonymous AND l-diverse yet still leak when its
+    SENSITIVE-VALUE DISTRIBUTION deviates from the table's. Per
+    (market segment, nation) quasi-identifier class, t = the Earth
+    Mover's Distance between the class's and the global account-balance
+    distribution over m ordered unit-spaced bands — for ordered
+    categories EMD reduces to mean |cumulative difference|,
+    t = Σᵢ|CumQᵢ − CumPᵢ|/(m−1). Worst classes first.
+
+    Scale shape: one corpus aggregation to the (class × bucket) grain;
+    the dense bucket grid attaches to the CLASS table (bounded:
+    |segments|·|nations| rows) by an in-row range explode, cumulative
+    windows run per class over m = 11 rows, and the global CDF is a
+    bucket-count broadcast. Per-bucket |ΔCDF| quantizes to integer
+    nano BEFORE the per-class sum (order-free BIGINT adds); the final
+    ppm is one exact integer division."""
+    obs = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(1000.0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    classes = obs.groupBy("seg", "nat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    grid = classes.select(
+        "seg",
+        "nat",
+        "n_g",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_TCLOSE_BUCKETS)])
+        ).alias("b"),
+    )
+    qc = obs.groupBy("seg", "nat", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    w_q = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qcum = (
+        grid.join(qc, ["seg", "nat", "b"], "left")
+        .select(
+            "seg",
+            "nat",
+            "n_g",
+            "b",
+            F.sum(F.coalesce(F.col("n_b"), F.lit(0)))
+            .over(w_q)
+            .cast("bigint")
+            .alias("cum_q"),
+        )
+    )
+    pb = obs.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_p = (
+        Window.partitionBy(api.one_partition("b"))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pcum = pb.select(
+        "b",
+        F.sum("n").over(w_p).cast("bigint").alias("cum_p"),
+        F.sum("n")
+        .over(Window.partitionBy(api.one_partition("b")))
+        .cast("bigint")
+        .alias("n_tot"),
+    )
+    terms = (
+        qcum.where(F.col("b") < _TCLOSE_BUCKETS - 1)
+        .join(F.broadcast(pcum), "b")
+        .select(
+            "seg",
+            "nat",
+            "n_g",
+            F.floor(
+                F.abs(
+                    F.col("cum_q").cast("double") / F.col("n_g")
+                    - F.col("cum_p").cast("double") / F.col("n_tot")
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("d_nano"),
+        )
+    )
+    return (
+        terms.groupBy("seg", "nat", "n_g")
+        .agg(
+            F.expr(
+                f"CAST(sum(d_nano) DIV {(_TCLOSE_BUCKETS - 1) * 1000}"
+                " AS BIGINT)"
+            ).alias("t_ppm")
+        )
+        .orderBy(F.col("t_ppm").desc(), "seg", "nat")
+        .limit(_TCLOSE_K)
+    )

@@ -779,3 +779,102 @@ def q_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("theil_u"),
     )
+
+
+@query("q_cross_correlation", oracle=r"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+x AS (SELECT day, v FROM d WHERE event_type = 'view'),
+y AS (SELECT day, v FROM d WHERE event_type = 'purchase'),
+lags AS (SELECT unnest(range(-5, 6)) AS lag),
+p AS (
+  SELECT l.lag, x.v AS xv, y.v AS yv
+  FROM x JOIN lags l ON TRUE
+  JOIN y ON y.day = x.day + CAST(l.lag AS INTEGER)
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(xv) AS BIGINT) AS s1, CAST(sum(yv) AS BIGINT) AS s2,
+         sum(CAST(xv AS HUGEINT) * xv) AS s11,
+         sum(CAST(yv AS HUGEINT) * yv) AS s22,
+         sum(CAST(xv AS HUGEINT) * yv) AS s12
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       round((CAST(n_days AS DOUBLE) * CAST(s12 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * s2)
+             / sqrt((CAST(n_days AS DOUBLE) * CAST(s11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1)
+                    * (CAST(n_days AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2)), 4) AS xcf
+FROM m ORDER BY lag
+""")
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two series — daily view-value
+    vs daily purchase-value at lags −5..+5 — the lead/lag dependency
+    probe behind "does browsing predict buying, and by how many days?"
+    (the cross-series complement of ``q_autocorr``'s correlogram; the
+    peak-lag reading feeds ``q_attribution``-style causal questions).
+
+    Scale shape: the corpus reduces map-side to TWO calendar-grain
+    series before anything quadratic-ish happens; the ±5 lags attach
+    in-row (array-literal explode, the q_autocorr discipline) and join
+    on ``day + lag`` — no window, no sort, no BNLJ. Moments are exact
+    (BIGINT cent sums, DECIMAL(38,0) cross products); Pearson r is one
+    float expression per OUTPUT row."""
+    d = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    x = d.where(F.col("event_type") == "view").select("day", "v")
+    y = d.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("v").alias("yv")
+    )
+    lag_arr = F.array(*[F.lit(i) for i in range(-5, 6)])
+    a = x.select(
+        F.col("day").alias("xday"),
+        F.col("v").alias("xv"),
+        F.explode(lag_arr).alias("lag"),
+    )
+    p = a.join(
+        y, F.col("yday") == F.date_add(F.col("xday"), F.col("lag"))
+    ).select("lag", "xv", "yv")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("xv").cast("bigint").alias("s1"),
+        F.sum("yv").cast("bigint").alias("s2"),
+        F.sum(dec("xv") * dec("xv")).alias("s11"),
+        F.sum(dec("yv") * dec("yv")).alias("s22"),
+        F.sum(dec("xv") * dec("yv")).alias("s12"),
+    )
+    nd = F.col("n_days").cast("double")
+    num = (
+        nd * F.col("s12").cast("double")
+        - F.col("s1").cast("double") * F.col("s2")
+    )
+    den = F.sqrt(
+        (nd * F.col("s11").cast("double")
+         - F.col("s1").cast("double") * F.col("s1"))
+        * (nd * F.col("s22").cast("double")
+           - F.col("s2").cast("double") * F.col("s2"))
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_days",
+        F.round(num / den, 4).alias("xcf"),
+    ).orderBy("lag")
