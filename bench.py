@@ -285,6 +285,10 @@ HEADLINE = (
     # round-5 wave 55: t-closeness audit, lagged cross-correlation
     "q_t_closeness",
     "q_cross_correlation",
+    # round-5 wave 56: conformal intervals, lift curve, McNemar
+    "q_conformal_interval",
+    "q_lift_curve",
+    "q_mcnemar",
 )
 
 

@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.graph_linkpred",
     "spark_ml_spark.operators.mlextra",
     "spark_ml_spark.operators.sqlsurface",
+    "spark_ml_spark.operators.evaldepth",
 )
 
 
