@@ -289,6 +289,11 @@ HEADLINE = (
     "q_conformal_interval",
     "q_lift_curve",
     "q_mcnemar",
+    # round-5 wave 57: semi-additive balances, snowflake chain,
+    # permutation test
+    "q_semi_additive_agg",
+    "q_snowflake_join",
+    "q_permutation_test",
 )
 
 

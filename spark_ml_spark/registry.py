@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.mlextra",
     "spark_ml_spark.operators.sqlsurface",
     "spark_ml_spark.operators.evaldepth",
+    "spark_ml_spark.operators.warehouse_depth",
 )
 
 
