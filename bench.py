@@ -294,6 +294,11 @@ HEADLINE = (
     "q_semi_additive_agg",
     "q_snowflake_join",
     "q_permutation_test",
+    # round-5 wave 58: MRL truncation recall, cohort LTV, distribution
+    # window functions
+    "q_mrl_recall",
+    "q_cohort_ltv",
+    "q_window_distribution",
 )
 
 

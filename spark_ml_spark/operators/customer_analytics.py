@@ -33,7 +33,7 @@ passim); siblings: ``q_retention_cohorts`` (behavioral cohorts),
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_ml_spark import api
@@ -478,4 +478,106 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("share_ppm"),
         )
         .orderBy("decile")
+    )
+
+
+@query("q_cohort_ltv", oracle=r"""
+WITH first AS (
+  SELECT o_custkey,
+         CAST(min(year(o_orderdate) * 100 + month(o_orderdate))
+              AS BIGINT) AS cohort_ym
+  FROM orders GROUP BY 1
+),
+sized AS (
+  SELECT cohort_ym, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_ym,
+         CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+              - (f.cohort_ym // 100 * 12 + f.cohort_ym % 100)
+              AS BIGINT) AS age_m,
+         CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT r.cohort_ym, r.age_m, r.rev_cents, s.cohort_size,
+         CAST(sum(r.rev_cents) OVER (
+           PARTITION BY r.cohort_ym ORDER BY r.age_m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_rev_cents
+  FROM rev r JOIN sized s ON s.cohort_ym = r.cohort_ym
+)
+SELECT cohort_ym, age_m, cohort_size, rev_cents, cum_rev_cents,
+       CAST(cum_rev_cents // cohort_size AS BIGINT) AS ltv_cents
+FROM cum
+WHERE age_m <= 11
+ORDER BY cohort_ym, age_m
+""")
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, and for each (cohort, months-since-first) the period
+    revenue, running cumulative revenue, and cumulative LTV per cohort
+    member — the money-dimension refinement of ``q_retention_cohorts``
+    (which counts activity; acquisition channels are judged on THIS
+    curve). First 12 months of age per cohort.
+
+    Scale shape: the ``q_retention_cohorts`` discipline — first-touch
+    aggregate and activity join both shuffle on the customer key
+    (co-partitioned on a cluster; the cohort table is one row per
+    customer and broadcastable far up the curve); the rollup lands on
+    the calendar-bounded (cohort × age) grain, where the cumulative
+    window partitions per cohort over ≤12 rows. Exact BIGINT cents;
+    LTV is one integer division."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym_lin"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("pc"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("ym").cast("bigint").alias("cohort_ym"),
+        F.min("ym_lin").cast("bigint").alias("cohort_lin"),
+    )
+    sized = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym",
+            (F.col("ym_lin") - F.col("cohort_lin")).alias("age_m"),
+        )
+        .agg(F.sum("pc").cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort_ym")
+        .select(
+            "cohort_ym",
+            "age_m",
+            "cohort_size",
+            "rev_cents",
+            F.sum("rev_cents").over(w).cast("bigint")
+            .alias("cum_rev_cents"),
+        )
+        .where(F.col("age_m") <= 11)
+        .select(
+            "*",
+            F.expr("CAST(cum_rev_cents DIV cohort_size AS BIGINT)")
+            .alias("ltv_cents"),
+        )
+        .orderBy("cohort_ym", "age_m")
     )

@@ -2188,3 +2188,57 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@query("q_window_distribution", oracle=r"""
+WITH nat AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+              // count(*) AS BIGINT) AS avg_bal_cents
+  FROM customer GROUP BY 1, 2
+)
+SELECT seg, nat, avg_bal_cents,
+       ROUND(percent_rank() OVER w, 4) AS pct_rank,
+       ROUND(cume_dist() OVER w, 4) AS cume_dist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM nat
+WINDOW w AS (PARTITION BY seg ORDER BY avg_bal_cents, nat)
+ORDER BY seg, nat
+""")
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard distribution window functions in one readout —
+    ``percent_rank``, ``cume_dist``, ``ntile(4)`` — ranking nations by
+    average customer balance within each market segment (completes the
+    window family next to ``q_window_rank``'s rank/dense_rank and
+    ``q_sql_window_ntile``).
+
+    Scale shape: the window runs on the AGGREGATED (segment × nation)
+    grain — a bounded ≤125-row table produced by one map-side-combined
+    corpus aggregate — never on corpus-sized partitions (sort-based
+    distribution functions over raw rows are the scale-killer this
+    formulation avoids; a raw-row percentile ask routes to
+    ``api.global_rank`` / ``q_percentiles`` instead). The average is
+    an exact integer division of BIGINT cents; the two distribution
+    ratios are exact small-n rationals, identical cross-engine."""
+    nat = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("bigint").alias("nat"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("avg_bal_cents")
+        )
+    )
+    w = W.partitionBy("seg").orderBy("avg_bal_cents", "nat")
+    return nat.select(
+        "seg",
+        "nat",
+        "avg_bal_cents",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    ).orderBy("seg", "nat")

@@ -757,3 +757,127 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy("bucket")
     )
+
+
+#: MRL ablation: prefix dimensions kept, query-set size, cut depth
+_MRL_DIM = 16
+_MRL_Q = 8
+_MRL_K = 10
+
+#: truncated-prefix cosine for the oracle (1-based inclusive slices)
+_ORACLE_COS_PREFIX = _ORACLE_COS.format(
+    a=f"a.embedding[1:{_MRL_DIM}]", b=f"q.qe[1:{_MRL_DIM}]"
+)
+
+
+@query("q_mrl_recall", oracle=rf"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {_MRL_Q}
+),
+scored AS (
+  SELECT q.q_id, a.vec_id,
+         {_ORACLE_COS.format(a="a.embedding", b="q.qe")} AS cos_full,
+         {_ORACLE_COS_PREFIX} AS cos_trunc
+  FROM embeddings a, q
+  WHERE a.vec_id >= {_MRL_Q}
+),
+rf AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_full DESC, vec_id) AS r
+  FROM scored
+),
+rt AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_trunc DESC, vec_id) AS r
+  FROM scored
+)
+SELECT rf.q_id,
+       CAST(count(rt.vec_id) AS BIGINT) AS n_overlap,
+       CAST(floor(count(rt.vec_id) * 1000000.0 / {_MRL_K} + 0.5)
+            AS BIGINT) AS recall_ppm
+FROM rf LEFT JOIN rt ON rt.q_id = rf.q_id AND rt.vec_id = rf.vec_id
+                    AND rt.r <= {_MRL_K}
+WHERE rf.r <= {_MRL_K}
+GROUP BY rf.q_id
+ORDER BY rf.q_id
+""")
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation ablation (Kusupati et al.
+    2022): for each query vector, exact top-{k} by FULL {d}-dim cosine
+    vs top-{k} by the first-{m}-dims prefix cosine, reporting
+    overlap@{k} — the measurement that decides whether a cheap
+    truncated index can serve candidate generation with full-dim
+    re-ranking (the PQ/IVF cost story from the representation side).
+
+    Scale shape: one corpus scan scores BOTH metrics per (candidate,
+    query) against the broadcast query set (the q_cosine_topk_batch
+    shape — queries are the broadcast side, embeddings never shuffle);
+    the two rank windows partition per query over (q_id, vec_id,
+    score) triples; overlap is a keyed self-join of two top-{k} sets,
+    {q}·{k} rows. Prefix slicing is in-row; at 100 TB the truncated
+    scan would read a {m}-dim column family instead of slicing."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    qset = emb.filter(F.col("vec_id") < _MRL_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qe")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        emb.filter(F.col("vec_id") >= _MRL_Q)
+        .crossJoin(F.broadcast(qset))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("emb"), F.col("qe")).alias("cos_full"),
+            cosine(
+                F.slice(F.col("emb"), 1, _MRL_DIM),
+                F.slice(F.col("qe"), 1, _MRL_DIM),
+            ).alias("cos_trunc"),
+        )
+    )
+    w_f = W.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "vec_id")
+    w_t = W.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), "vec_id")
+    rf = (
+        scored.withColumn("r", F.row_number().over(w_f))
+        .filter(F.col("r") <= _MRL_K)
+        .select("q_id", "vec_id")
+    )
+    rt = (
+        scored.withColumn("r", F.row_number().over(w_t))
+        .filter(F.col("r") <= _MRL_K)
+        # rename BOTH keys: rf and rt share one lineage, and a self-join
+        # on same-named columns resolves ambiguously
+        .select(
+            F.col("q_id").alias("t_q_id"),
+            F.col("vec_id").alias("t_vec_id"),
+        )
+    )
+    return (
+        rf.join(
+            rt,
+            (F.col("q_id") == F.col("t_q_id"))
+            & (F.col("vec_id") == F.col("t_vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("t_vec_id").cast("bigint").alias("n_overlap"),
+            F.floor(
+                F.count("t_vec_id") * F.lit(1000000.0) / F.lit(_MRL_K)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+q_mrl_recall.__doc__ = q_mrl_recall.__doc__.format(
+    k=_MRL_K, d=64, m=_MRL_DIM, q=_MRL_Q
+)
