@@ -299,6 +299,10 @@ HEADLINE = (
     "q_mrl_recall",
     "q_cohort_ltv",
     "q_window_distribution",
+    # round-5 wave 59: ALS, FPGrowth, chi-square feature ranking
+    "q_als_recommend",
+    "q_fpgrowth_itemsets",
+    "q_feature_selection",
 )
 
 

@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.sqlsurface",
     "spark_ml_spark.operators.evaldepth",
     "spark_ml_spark.operators.warehouse_depth",
+    "spark_ml_spark.operators.ml_estimators",
 )
 
 
