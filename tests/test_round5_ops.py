@@ -1,0 +1,370 @@
+"""Structural invariants for the round-5 operator waves (49-59) —
+properties the oracle differential can't express (it only proves
+Spark == DuckDB; these pin that BOTH compute the intended quantity).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_ml_spark.io.sources import load
+from spark_ml_spark.registry import collect
+
+_QUERIES, _ = collect()
+
+
+# --------------------------------------------------------------------------
+# wave 50: MERGE / CDC
+# --------------------------------------------------------------------------
+
+def test_merge_upsert_accounting_closes(spark, sf_dir):
+    """n_result = updated + inserted + unchanged, and the action counts
+    reconcile against the raw split sizes: updated = |target ∩ source|,
+    inserted = |source \\ target|, unchanged = |target \\ source|."""
+    row = _QUERIES["q_merge_upsert"](spark, sf_dir).first()
+    assert row.n_result == row.n_updated + row.n_inserted + row.n_unchanged
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    t = cust.where(F.col("c_custkey") % 10 < 8)
+    s = cust.where(F.col("c_custkey") % 10 >= 5)
+    both = t.intersect(s).count()
+    assert row.n_updated == both
+    assert row.n_inserted == s.count() - both
+    assert row.n_unchanged == t.count() - both
+
+
+def test_cdc_apply_partitions_users(spark, sf_dir):
+    """Every user lands in exactly one final-op bucket: the n_keys sum
+    equals the distinct-user count of the events table."""
+    out = _QUERIES["q_cdc_apply"](spark, sf_dir)
+    total = out.agg(F.sum("n_keys")).first()[0]
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert total == n_users
+
+
+# --------------------------------------------------------------------------
+# wave 51: robust & resampling statistics
+# --------------------------------------------------------------------------
+
+def test_theilsen_matches_python_median(spark, sf_dir):
+    """The per-year Theil-Sen slope equals a driver-side recomputation
+    of the pairwise-slope median from the same daily aggregate (small:
+    days are calendar-bounded, so this brute force is test-only)."""
+    out = {
+        r.yr: (r.n_pairs, r.theilsen_cents_per_day)
+        for r in _QUERIES["q_theilsen_slope"](spark, sf_dir).collect()
+    }
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).cast("bigint").alias("d"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("bigint").alias("pc"),
+        )
+        .groupBy("yr", "d")
+        .agg(F.sum("pc").alias("rev"))
+        .collect()
+    )
+    by_year: dict = {}
+    for r in daily:
+        by_year.setdefault(r.yr, []).append((r.d, r.rev))
+    yr = min(by_year)  # one year suffices; the oracle covers the rest
+    pts = sorted(by_year[yr])
+    slopes = sorted(
+        (b[1] - a[1]) / (b[0] - a[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+    )
+    n = len(slopes)
+    med = (
+        slopes[n // 2]
+        if n % 2
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+    )
+    got_n, got_slope = out[yr]
+    assert got_n == n
+    assert abs(got_slope - round(med, 4)) <= 1e-9, (got_slope, med)
+
+
+def test_kruskal_wallis_invariants(spark, sf_dir):
+    """H is nonnegative; tie correction can only GROW the statistic
+    (divisor ≤ 1); group count matches the event-type cardinality."""
+    row = _QUERIES["q_kruskal_wallis"](spark, sf_dir).first()
+    assert row.h_stat >= 0
+    assert row.h_tie_corrected >= row.h_stat
+    n_types = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type").distinct().count()
+    )
+    assert row.n_groups == n_types
+
+
+def test_poisson_bootstrap_brackets_point(spark, sf_dir):
+    """The replica CI must bracket the full-data mean (Poisson(1)
+    resamples are unbiased), and the SE must be positive and small
+    relative to the mean."""
+    row = _QUERIES["q_poisson_bootstrap"](spark, sf_dir).first()
+    assert row.ci_lo_cents <= row.point_mean_cents <= row.ci_hi_cents
+    assert 0 < row.boot_se_cents < row.point_mean_cents
+
+
+# --------------------------------------------------------------------------
+# wave 52: link prediction & local clustering
+# --------------------------------------------------------------------------
+
+def test_link_prediction_bounds(spark, sf_dir):
+    """n_common ≤ min(d_a, d_b); Jaccard ∈ (0, 1e6]; AA of a pair is at
+    most n_common / ln(2) (every common neighbor has degree ≥ 2)."""
+    rows = _QUERIES["q_link_prediction"](spark, sf_dir).collect()
+    assert rows, "top-k must be non-empty"
+    for r in rows:
+        assert r.n_common <= min(r.d_a, r.d_b)
+        assert 0 < r.jaccard_ppm <= 1_000_000
+        assert r.aa_nano <= r.n_common * (1e9 / math.log(2)) + 1
+
+
+def test_local_clustering_consistency(spark, sf_dir):
+    """lcc_ppm ∈ [0, 1e6] and equals the reported (n_tri, degree) pair
+    recomputed; triangle charges are nonnegative."""
+    for r in _QUERIES["q_local_clustering"](spark, sf_dir).collect():
+        assert 0 <= r.lcc_ppm <= 1_000_000
+        expect = math.floor(
+            r.n_tri * 2_000_000.0 / (r.degree * (r.degree - 1)) + 0.5
+        )
+        assert r.lcc_ppm == expect
+
+
+# --------------------------------------------------------------------------
+# wave 53: stump / ridge / k-fold
+# --------------------------------------------------------------------------
+
+def test_ridge_path_monotone_shrinkage(spark, sf_dir):
+    """|slope| and the shrink factor are nonincreasing in alpha, and
+    alpha=0 reproduces OLS (shrink factor exactly 1e6 ppm)."""
+    rows = _QUERIES["q_ridge_path"](spark, sf_dir).orderBy("alpha").collect()
+    assert rows[0].alpha == 0 and rows[0].shrink_ppm == 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert abs(b.slope_micro) <= abs(a.slope_micro)
+        assert b.shrink_ppm <= a.shrink_ppm
+
+
+def test_decision_stump_beats_trivial_split(spark, sf_dir):
+    """The reported best split's Gini is no worse than an arbitrary
+    fixed split's Gini (global optimality spot check), and the side
+    counts partition the table."""
+    row = _QUERIES["q_decision_stump"](spark, sf_dir).first()
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    n = docs.count()
+    assert row.n_left + row.n_right == n
+
+    def gini_at(t: int) -> float:
+        agg = docs.agg(
+            F.sum((F.col("x") <= t).cast("bigint")).alias("nl"),
+            F.sum(F.when(F.col("x") <= t, F.col("y")).otherwise(0))
+            .alias("pl"),
+            F.sum("y").alias("pos"),
+        ).first()
+        nl, pl, pos = agg.nl, agg.pl, agg.pos
+        nr, pr = n - nl, pos - pl
+        if nl == 0 or nr == 0:
+            return float("inf")
+        return (
+            2.0 * pl * (nl - pl) / nl + 2.0 * pr * (nr - pr) / nr
+        ) * 1e6 / n
+
+    assert row.gini_micro <= math.floor(gini_at(500) + 0.5) + 1
+
+
+def test_kfold_cv_folds_partition(spark, sf_dir):
+    """The five test folds partition the corpus (sizes sum to n) and
+    every held-out RMSE is positive and finite."""
+    rows = _QUERIES["q_kfold_cv"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_test for r in rows) == n
+    for r in rows:
+        assert r.rmse_test > 0 and math.isfinite(r.rmse_test)
+
+
+# --------------------------------------------------------------------------
+# wave 55-57: t-closeness, xcorr, conformal, permutation
+# --------------------------------------------------------------------------
+
+def test_t_closeness_bounds(spark, sf_dir):
+    """EMD over CDFs is bounded: t_ppm ∈ [0, 1e6]; output is sorted
+    worst-first."""
+    rows = _QUERIES["q_t_closeness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.t_ppm <= 1_000_000
+    assert [r.t_ppm for r in rows] == sorted(
+        (r.t_ppm for r in rows), reverse=True
+    )
+
+
+def test_cross_correlation_bounds(spark, sf_dir):
+    """Every xcf is a correlation in [-1, 1] and the lag-0 row exists
+    with maximal pair support."""
+    rows = _QUERIES["q_cross_correlation"](spark, sf_dir).collect()
+    by_lag = {r.lag: r for r in rows}
+    assert 0 in by_lag
+    for r in rows:
+        assert -1.0001 <= r.xcf <= 1.0001
+        assert r.n_days <= by_lag[0].n_days
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split conformal guarantees ≥ 1 − α coverage IN EXPECTATION over
+    exchangeable draws; one realization fluctuates binomially in both
+    the calibration quantile and the test evaluation, so assert the
+    marginal target minus 4 combined standard errors (at sf0.001,
+    n_cal≈89/n_test≈96 → ~25% slack; at production n both terms vanish
+    and the bound tightens to the true 90%). q̂ must be positive."""
+    row = _QUERIES["q_conformal_interval"](spark, sf_dir).first()
+    se = math.sqrt(0.9 * 0.1) * (
+        1 / math.sqrt(row.n_cal) + 1 / math.sqrt(row.n_test)
+    )
+    assert row.coverage_ppm >= (0.9 - 4 * se) * 1_000_000
+    assert row.qhat_micro > 0
+
+
+def test_permutation_test_p_value_range(spark, sf_dir):
+    """Add-one smoothed p ∈ (0, 1]; n_extreme ≤ replicas; the group
+    sizes reconcile with the filter."""
+    row = _QUERIES["q_permutation_test"](spark, sf_dir).first()
+    assert 0 < row.p_value_ppm <= 1_000_000
+    assert 0 <= row.n_extreme <= row.n_replicas
+    assert row.n == row.n_a + row.n_b
+
+
+# --------------------------------------------------------------------------
+# wave 56/58: lift curve, MRL recall, semi-additive
+# --------------------------------------------------------------------------
+
+def test_lift_curve_gains_monotone(spark, sf_dir):
+    """Cumulative gains are nondecreasing in decile and end at 100%;
+    decile sizes differ by at most 1 from n/10."""
+    rows = _QUERIES["q_lift_curve"](spark, sf_dir).orderBy("decile").collect()
+    assert len(rows) == 10
+    gains = [r.cum_gain_ppm for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == 1_000_000
+    n = sum(r.n_rows for r in rows)
+    for r in rows:
+        assert abs(r.n_rows - n / 10) <= 1
+
+
+def test_mrl_recall_bounds(spark, sf_dir):
+    """Overlap@k ∈ [0, k]; a truncated prefix can't beat itself —
+    recall_ppm consistent with n_overlap."""
+    from spark_ml_spark.operators.similarity import _MRL_K, _MRL_Q
+
+    rows = _QUERIES["q_mrl_recall"](spark, sf_dir).collect()
+    assert len(rows) == _MRL_Q
+    for r in rows:
+        assert 0 <= r.n_overlap <= _MRL_K
+        assert r.recall_ppm == math.floor(
+            r.n_overlap * 1_000_000.0 / _MRL_K + 0.5
+        )
+
+
+def test_semi_additive_less_than_additive(spark, sf_dir):
+    """The end-of-period balance (last per account) is at most the
+    fully-additive sum for every month, and accounts ≤ orders."""
+    eop = {
+        r.ym: (r.n_accounts, r.eop_balance_cents)
+        for r in _QUERIES["q_semi_additive_agg"](spark, sf_dir).collect()
+    }
+    addv = {
+        r.ym: (r.n_orders, r.all_cents)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("bigint").alias("ym")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                    .cast("bigint")
+                ).alias("all_cents"),
+            )
+            .collect()
+        )
+    }
+    assert set(eop) == set(addv)
+    for ym, (n_acct, bal) in eop.items():
+        n_ord, total = addv[ym]
+        assert n_acct <= n_ord
+        assert bal <= total
+
+
+# --------------------------------------------------------------------------
+# wave 59: FPGrowth cross-check vs q_assoc_rules support counts
+# --------------------------------------------------------------------------
+
+def test_fpgrowth_pairs_match_assoc_support(spark, sf_dir):
+    """The FP-tree engine and the q_assoc_rules SQL pipeline count the
+    SAME brand-pair supports: every 2-itemset reported by FPGrowth must
+    appear in the assoc-rules co-count with the identical frequency."""
+    fp_pairs = {
+        r.items: r.freq
+        for r in _QUERIES["q_fpgrowth_itemsets"](spark, sf_dir).collect()
+        if r.set_size == 2
+    }
+    if not fp_pairs:
+        return  # support threshold can exceed every pair at tiny sf
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    a, c = b.alias("a"), b.alias("c")
+    co = {
+        r.items: r.n_co
+        for r in (
+            a.join(
+                c,
+                (F.col("a.basket") == F.col("c.basket"))
+                & (F.col("a.item") < F.col("c.item")),
+            )
+            .groupBy(
+                F.concat_ws(
+                    " ", F.col("a.item"), F.col("c.item")
+                ).alias("items")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+            .collect()
+        )
+    }
+    for items, freq in fp_pairs.items():
+        assert co.get(items) == freq, items
+
+
+def test_feature_selection_nonneg_and_complete(spark, sf_dir):
+    """chi² is nonnegative; all three declared features report; levels
+    are at least 2 (a 1-level feature has no contingency)."""
+    rows = _QUERIES["q_feature_selection"](spark, sf_dir).collect()
+    assert {r.feature for r in rows} == {"source", "len_bucket",
+                                         "tok_bucket"}
+    for r in rows:
+        assert r.chi2_nano >= 0
+        assert r.n_levels >= 2
