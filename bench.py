@@ -303,6 +303,10 @@ HEADLINE = (
     "q_als_recommend",
     "q_fpgrowth_itemsets",
     "q_feature_selection",
+    # round-5 wave 60: bigram LM, RAKE keywords, compaction planning
+    "q_bigram_lm",
+    "q_rake_keywords",
+    "q_compaction_plan",
 )
 
 

@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.evaldepth",
     "spark_ml_spark.operators.warehouse_depth",
     "spark_ml_spark.operators.ml_estimators",
+    "spark_ml_spark.operators.corpus_depth",
 )
 
 
