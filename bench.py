@@ -307,6 +307,10 @@ HEADLINE = (
     "q_bigram_lm",
     "q_rake_keywords",
     "q_compaction_plan",
+    # round-5 wave 61: Huber mean, systematic sample, 2-D histogram
+    "q_huber_mean",
+    "q_systematic_sample",
+    "q_histogram_2d",
 )
 
 

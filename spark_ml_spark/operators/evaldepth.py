@@ -168,15 +168,22 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rcal = api.global_rank(
         cal, ["r_micro", "doc_id"], rank_col="rnk", total_col="n_cal"
     )
-    qhat = rcal.where(
-        F.col("rnk")
-        == F.expr(
-            f"((n_cal + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN - 1})"
-            f" DIV {_CONF_ALPHA_DEN}"
+    # the rank filter matches EXACTLY one row, but the plan can't prove
+    # that — the ungrouped min() wraps it in a keys=[] aggregate so the
+    # broadcast build side is <=1-row BY CONSTRUCTION (the repo's BNLJ
+    # hygiene test requires provable tininess, not just actual tininess)
+    qhat = (
+        rcal.where(
+            F.col("rnk")
+            == F.expr(
+                f"((n_cal + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN - 1})"
+                f" DIV {_CONF_ALPHA_DEN}"
+            )
         )
-    ).select(
-        F.col("r_micro").alias("q_micro"),
-        F.col("n_cal").cast("bigint").alias("n_cal"),
+        .agg(
+            F.min("r_micro").cast("bigint").alias("q_micro"),
+            F.min("n_cal").cast("bigint").alias("n_cal"),
+        )
     )
     qb = F.broadcast(qhat)
     test = (

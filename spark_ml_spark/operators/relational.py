@@ -2242,3 +2242,57 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     ).orderBy("seg", "nat")
+
+
+@query("q_histogram_2d", oracle=r"""
+SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_bin,
+       -- CAST before //: DuckDB's // on DOUBLE rounds (3.0 // 2 = 2),
+       -- only integer // floors like Spark's DIV
+       CAST(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) // 2
+            AS BIGINT) AS disc_bin,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY qty_bin, disc_bin
+""")
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram (heatmap grid): line items binned on
+    DOMAIN-FIXED quantity bands (width 10) × discount bands (2 cents of
+    rate), with count and exact revenue per cell — the joint view that
+    reveals the qty×discount interaction ``q_histogram``'s marginals
+    average away (and the exact input a BI heatmap or a 2-D
+    independence test consumes).
+
+    Scale shape: bins are arithmetic on domain constants (never a
+    data-dependent pre-scan), so this is ONE map-side-combined hash
+    aggregate to a grid bounded by the bin domains (~6×6 cells) at any
+    corpus size; discount quantizes through integer cents to dodge
+    float-edge binning."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / F.lit(10.0))
+            .cast("bigint")
+            .alias("qty_bin"),
+            F.expr(
+                "CAST(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)"
+                " DIV 2 AS BIGINT)"
+            ).alias("disc_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )

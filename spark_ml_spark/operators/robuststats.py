@@ -442,3 +442,99 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo_cents",
         "ci_hi_cents",
     )
+
+
+@query("q_huber_mean", oracle=r"""
+WITH med AS (
+  SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders
+),
+mad AS (
+  SELECT max(m.med) AS med,
+         quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+  FROM orders o, med m
+),
+clipped AS (
+  SELECT CAST(floor(
+           CASE WHEN o.o_totalprice < m.med - 1.345 * 1.4826 * m.mad
+                THEN m.med - 1.345 * 1.4826 * m.mad
+                WHEN o.o_totalprice > m.med + 1.345 * 1.4826 * m.mad
+                THEN m.med + 1.345 * 1.4826 * m.mad
+                ELSE o.o_totalprice END * 100.0 + 0.5) AS BIGINT) AS wc,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc,
+         CASE WHEN abs(o.o_totalprice - m.med)
+                   > 1.345 * 1.4826 * m.mad THEN 1 ELSE 0 END AS clip
+  FROM orders o, mad m
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(clip) AS BIGINT) AS n_clipped,
+       CAST((sum(pc) * 2 + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_cents,
+       CAST((sum(wc) * 2 + count(*)) // (2 * count(*)) AS BIGINT)
+         AS huber_cents,
+       ROUND((SELECT med FROM mad), 4) AS median_price,
+       ROUND((SELECT mad FROM mad), 4) AS mad_price
+FROM clipped
+""")
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Huber M-estimate of the mean order price: start at the
+    exact interpolated median, Winsorize at med ± 1.345·1.4826·MAD
+    (Huber's 95%-efficiency constant × the normal-consistency scale),
+    and average the clipped values — the robust location estimate that
+    keeps √n-efficiency where ``q_mad_outliers`` only FLAGS the tails
+    and a trimmed mean throws data away. Reported next to the raw mean
+    so the gap reads as tail influence.
+
+    Scale shape: two percentile passes (Spark's ``percentile`` matches
+    DuckDB ``quantile_cont`` bit-for-bit on the same doubles) feed one
+    broadcast scalar row; the clip + quantize + sum pass is map-only
+    with exact BIGINT cents and round-half-up integer division (the
+    q_poisson_bootstrap discipline)."""
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    med = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    mad = (
+        orders.crossJoin(F.broadcast(med))
+        .agg(
+            F.max("med").alias("med"),
+            F.expr(
+                "percentile(abs(o_totalprice - med), 0.5)"
+            ).alias("mad"),
+        )
+    )
+    lo = F.col("med") - F.lit(1.345) * F.lit(1.4826) * F.col("mad")
+    hi = F.col("med") + F.lit(1.345) * F.lit(1.4826) * F.col("mad")
+    clipped = orders.crossJoin(F.broadcast(mad)).select(
+        F.floor(
+            F.when(F.col("o_totalprice") < lo, lo)
+            .when(F.col("o_totalprice") > hi, hi)
+            .otherwise(F.col("o_totalprice"))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wc"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("pc"),
+        (
+            F.abs(F.col("o_totalprice") - F.col("med"))
+            > F.lit(1.345) * F.lit(1.4826) * F.col("mad")
+        )
+        .cast("bigint")
+        .alias("clip"),
+        "med",
+        "mad",
+    )
+    return clipped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clip").cast("bigint").alias("n_clipped"),
+        F.expr(
+            "CAST((sum(pc) * 2 + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("mean_cents"),
+        F.expr(
+            "CAST((sum(wc) * 2 + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("huber_cents"),
+        F.round(F.max("med"), 4).alias("median_price"),
+        F.round(F.max("mad"), 4).alias("mad_price"),
+    )

@@ -63,6 +63,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_ml_spark import api
 from spark_ml_spark.api import connected_components, grouped_rank
 from spark_ml_spark.io.sources import load
 from spark_ml_spark.registry import query
@@ -1066,3 +1067,54 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_micro"),
     )
     return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
+
+
+#: systematic sampling interval and fixed phase
+_SYS_K = 50
+_SYS_PHASE = 7
+
+
+@query("q_systematic_sample", oracle=rf"""
+WITH r AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (ORDER BY doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rnk
+FROM r
+WHERE (rnk - 1) % {_SYS_K} = {_SYS_PHASE}
+ORDER BY rnk
+""")
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling: rank the frame by its key and
+    take one row per stride of {k} at fixed phase {phase} — the survey-
+    sampling design whose per-stratum spread beats Bernoulli sampling
+    when the frame order correlates with the measurement (here: doc_id
+    is ingest order, so the sample spreads evenly across the crawl).
+    Completes the sampling family: Bernoulli (``q_hash_split``),
+    fixed-K reservoir, weighted, stratified, temperature.
+
+    Caveat the design owns: a frame with periodicity matching the
+    stride is biased — the fixed phase makes that failure reproducible
+    rather than hidden.
+
+    Scale shape: ``api.global_rank`` two-phase ranking (no single-
+    partition window), then a map-only modulus filter — selectivity
+    exactly 1/{k} with zero variance in the sample size (±1)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    ranked = api.global_rank(
+        docs, ["doc_id"], rank_col="rnk", total_col="_n"
+    )
+    return (
+        ranked.where((F.col("rnk") - 1) % _SYS_K == _SYS_PHASE)
+        .select("doc_id", "lang", "n_chars",
+                F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("rnk")
+    )
+
+
+q_systematic_sample.__doc__ = q_systematic_sample.__doc__.format(
+    k=_SYS_K, phase=_SYS_PHASE
+)
