@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.warehouse_depth",
     "spark_ml_spark.operators.ml_estimators",
     "spark_ml_spark.operators.corpus_depth",
+    "spark_ml_spark.operators.forecast_eval",
 )
 
 
@@ -91,6 +92,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: 31-48's tail: graph structure, customer analytics, behavior,
 #: warehouse depth, integrity, fairness, survival) plus anything r5 adds
 #: are the r6 rotation's queue.
+#:
+#: r6 ROTATION NOTE: r5 added 36 queries (waves 49-61: fuzzy matching,
+#: MERGE/CDC, robust/resampling stats, link prediction, classical-ML
+#: depth, SQL-dialect surface, t-closeness/xcorr, conformal/lift/
+#: McNemar, semi-additive/snowflake/permutation, MRL/LTV/distribution
+#: windows, ALS/FPGrowth/feature selection, bigram-LM/RAKE/compaction,
+#: Huber/systematic/2-D histogram). Never-graded after r5 =
+#: ``registered − union(CORRECTNESS_r0*.json keys)`` ≈ 30 (r4 tail) +
+#: 36 (r5) = 66 > 50 — so r6 fills all 50 slots from that set in
+#: registration order and r7 takes the remainder; compute the exact
+#: list programmatically as this round did.
 _GRADED_WINDOW = (
     # --- wave 23-24 warehouse completeness ---
     "q_full_outer_join",

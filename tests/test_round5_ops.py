@@ -368,3 +368,69 @@ def test_feature_selection_nonneg_and_complete(spark, sf_dir):
     for r in rows:
         assert r.chi2_nano >= 0
         assert r.n_levels >= 2
+
+
+# --------------------------------------------------------------------------
+# wave 62: forecasting & attribution depth
+# --------------------------------------------------------------------------
+
+def test_seasonal_decompose_covers_calendar(spark, sf_dir):
+    """All 7 DOW rows report; day counts reconcile to the full-window
+    day count (total days − 6, the centered MA7 edge loss); the
+    weighted seasonal sum equals the total detrended sum ≈ within
+    per-group rounding (7 × ½ cent)."""
+    rows = _QUERIES["q_seasonal_decompose"](spark, sf_dir).collect()
+    assert sorted(r.dow for r in rows) == list(range(7))
+    n_days_total = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_days for r in rows) == n_days_total - 6
+    for r in rows:
+        assert r.mean_abs_remainder_cents >= 0
+
+
+def test_pinball_eval_invariants(spark, sf_dir):
+    """Scored-day count = total days − warm-up window; pinball loss is
+    nonnegative; a trailing p90 forecast's empirical coverage lands in
+    a loose-but-meaningful band (50%–100%)."""
+    row = _QUERIES["q_pinball_eval"](spark, sf_dir).first()
+    n_days_total = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert row.n_days == n_days_total - 28
+    assert row.pinball_cents >= 0
+    assert 500000 <= row.coverage_ppm <= 1000000
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley values satisfy efficiency: Σφᵢ = v(N) − v(∅), checked in
+    micro-credit within 3 half-ulp quantization errors. v(N) is the
+    overall conversion rate; v(∅) the rate among untouched users."""
+    rows = _QUERIES["q_shapley_attribution"](spark, sf_dir).collect()
+    assert {r.channel for r in rows} == {"view", "click", "signup"}
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.col("event_type").isin("view", "click", "signup")
+                .cast("int")
+            ).alias("touched"),
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .alias("conv"),
+        )
+    )
+    tot = per_user.agg(
+        F.avg("conv").alias("v_full"),
+        F.avg(F.when(F.col("touched") == 0, F.col("conv"))).alias("v0"),
+    ).first()
+    v0 = tot.v0 or 0.0
+    want = (tot.v_full - v0) * 1e6
+    got = sum(r.shapley_micro for r in rows)
+    assert abs(got - want) <= 3

@@ -96,6 +96,20 @@ SHOW = (
     "q_jackknife_ci", "q_period_growth", "q_rolling_distinct",
     # round-4 wave 34: MAD outliers, DiD, Gini
     "q_mad_outliers", "q_diff_in_diff", "q_gini_index",
+    # round-5 waves 49-52: fuzzy join, MERGE/CDC, robust stats, graphs
+    "q_edit_distance_join", "q_merge_upsert", "q_cdc_apply",
+    "q_theilsen_slope", "q_kruskal_wallis", "q_poisson_bootstrap",
+    "q_link_prediction", "q_local_clustering",
+    # round-5 waves 53-57: ML depth, SQL surface, privacy, eval,
+    # warehouse depth
+    "q_decision_stump", "q_kfold_cv", "q_sql_pivot", "q_t_closeness",
+    "q_conformal_interval", "q_lift_curve", "q_permutation_test",
+    "q_semi_additive_agg", "q_snowflake_join",
+    # round-5 waves 58-61: MRL recall, LTV, estimators, corpus, robust
+    "q_mrl_recall", "q_cohort_ltv", "q_fpgrowth_itemsets",
+    "q_feature_selection", "q_bigram_lm", "q_rake_keywords",
+    "q_compaction_plan", "q_huber_mean", "q_systematic_sample",
+    "q_histogram_2d",
 )
 
 
