@@ -61,6 +61,8 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.ml_estimators",
     "spark_ml_spark.operators.corpus_depth",
     "spark_ml_spark.operators.forecast_eval",
+    "spark_ml_spark.operators.agreement",
+    "spark_ml_spark.operators.inference_depth",
 )
 
 

@@ -434,3 +434,108 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     want = (tot.v_full - v0) * 1e6
     got = sum(r.shapley_micro for r in rows)
     assert abs(got - want) <= 3
+
+
+# --------------------------------------------------------------------------
+# wave 63: agreement, multiple testing & ranking evaluation
+# --------------------------------------------------------------------------
+
+def test_cohens_kappa_bounds_and_agreement(spark, sf_dir):
+    """κ ≤ p_o ≤ 1 always (chance correction can only lower agreement);
+    n_agree/n reproduces p_observed at the rounded precision."""
+    row = _QUERIES["q_cohens_kappa"](spark, sf_dir).first()
+    assert row.kappa <= row.p_observed + 1e-9
+    assert -1.0 <= row.kappa <= 1.0
+    assert abs(row.p_observed - row.n_agree / row.n) < 1e-4
+
+
+def test_bh_fdr_stepup_contiguity(spark, sf_dir):
+    """BH rejections form a prefix of the p-ordered ranks (step-up
+    property), p_micro is nondecreasing in rank, every nation reports,
+    and any rejected rank satisfies its own threshold test."""
+    rows = sorted(
+        _QUERIES["q_bh_fdr"](spark, sf_dir).collect(),
+        key=lambda r: r.bh_rank,
+    )
+    m = len(rows)
+    assert sorted(r.c_nationkey for r in rows) == list(range(m))
+    assert all(a.p_micro <= b.p_micro for a, b in zip(rows, rows[1:]))
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)  # prefix property
+    k_star = sum(flags)
+    if k_star:
+        r = rows[k_star - 1]
+        assert r.p_micro * 10 * m <= r.bh_rank * 1000000
+
+
+def test_ndcg_bounds_and_self_consistency(spark, sf_dir):
+    """nDCG ∈ (0, 1] per nation (idcg includes rel-3 rows by quartile
+    construction); ranking by the relevance itself would give exactly
+    1e6 — so the acctbal ranking can never exceed it."""
+    rows = _QUERIES["q_ndcg_eval"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 < r.ndcg10_micro <= 1000000
+
+
+# --------------------------------------------------------------------------
+# wave 64: blocked inference, entity resolution, hazard depth
+# --------------------------------------------------------------------------
+
+def test_friedman_rank_sums_close(spark, sf_dir):
+    """Within each complete block the ranks are a permutation of 1..5,
+    so segment rank sums must total n_blocks·k(k+1)/2 = 15·n_blocks;
+    χ²_F is nonnegative and identical on every row."""
+    rows = _QUERIES["q_friedman_test"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_blocks = rows[0].n_blocks
+    assert all(r.n_blocks == n_blocks for r in rows)
+    assert sum(r.rank_sum for r in rows) == 15 * n_blocks
+    assert len({r.chi2_f for r in rows}) == 1
+    assert rows[0].chi2_f >= -1e-9
+
+
+def test_record_linkage_histogram_closes(spark, sf_dir):
+    """The score histogram accounts for every blocked candidate pair;
+    each score is one of the 8 possible 3-field weight sums; is_match
+    agrees with the declared threshold."""
+    from itertools import product
+
+    rows = _QUERIES["q_record_linkage"](spark, sf_dir).collect()
+    n_pairs = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "supplier"),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+        )
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    possible = {
+        a + b + c
+        for a, b, c in product((3087, -2585), (926, -3322), (3170, -3170))
+    }
+    for r in rows:
+        assert r.score_milli in possible
+        assert r.is_match == (1 if r.score_milli >= 4000 else 0)
+
+
+def test_nelson_aalen_vs_km(spark, sf_dir):
+    """H is nondecreasing; risk sets match q_survival_km exactly; and
+    the exact pointwise inequality KM S(q) ≤ exp(−H(q)) holds (since
+    1−x ≤ e^−x for every increment)."""
+    import math
+
+    na = {r.quarter: r for r in
+          _QUERIES["q_nelson_aalen"](spark, sf_dir).collect()}
+    km = {r.quarter: r for r in
+          _QUERIES["q_survival_km"](spark, sf_dir).collect()}
+    assert set(na) == set(km)
+    prev = -1
+    for q in sorted(na):
+        assert na[q].cumhaz_nano >= prev
+        prev = na[q].cumhaz_nano
+        assert na[q].n_at_risk == km[q].n_at_risk
+        assert na[q].n_events == km[q].n_events
+        s_upper = math.exp(-na[q].cumhaz_nano / 1e9)
+        assert km[q].survival <= s_upper + 1e-4

@@ -92,6 +92,25 @@ SHOW = (
     "q_skyline", "q_srm_check",
     "q_item_similarity", "q_random_projection", "q_dbscan_core",
     "q_csv_malformed", "q_table_checksum", "q_mutual_info",
+    # round-5 waves 49-62: fuzzy matching, MERGE/CDC, robust stats,
+    # link prediction, classical-ML depth, SQL dialect, privacy,
+    # evaluation, warehouse depth, retrieval/BI, estimators, corpus,
+    # sampling, forecasting/attribution
+    "q_edit_distance_join", "q_mode_stat", "q_merge_upsert",
+    "q_cdc_apply", "q_theilsen_slope", "q_kruskal_wallis",
+    "q_poisson_bootstrap", "q_link_prediction", "q_local_clustering",
+    "q_decision_stump", "q_ridge_path", "q_kfold_cv",
+    "q_sql_pivot", "q_sql_lateral_explode", "q_sql_groupby_all",
+    "q_t_closeness", "q_cross_correlation", "q_conformal_interval",
+    "q_lift_curve", "q_mcnemar", "q_semi_additive_agg",
+    "q_snowflake_join", "q_permutation_test", "q_mrl_recall",
+    "q_cohort_ltv", "q_window_distribution", "q_als_recommend",
+    "q_fpgrowth_itemsets", "q_feature_selection", "q_bigram_lm",
+    "q_rake_keywords", "q_compaction_plan", "q_huber_mean",
+    "q_systematic_sample", "q_histogram_2d", "q_seasonal_decompose",
+    "q_pinball_eval", "q_shapley_attribution",
+    "q_cohens_kappa", "q_bh_fdr", "q_ndcg_eval",
+    "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
 )
 
 

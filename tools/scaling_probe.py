@@ -110,6 +110,12 @@ SHOW = (
     "q_feature_selection", "q_bigram_lm", "q_rake_keywords",
     "q_compaction_plan", "q_huber_mean", "q_systematic_sample",
     "q_histogram_2d",
+    # round-5 wave 62: forecasting & attribution depth
+    "q_seasonal_decompose", "q_pinball_eval", "q_shapley_attribution",
+    # round-5 wave 63: agreement, multiple testing, ranking eval
+    "q_cohens_kappa", "q_bh_fdr", "q_ndcg_eval",
+    # round-5 wave 64: blocked inference, ER, hazard
+    "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
 )
 
 
