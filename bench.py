@@ -311,6 +311,22 @@ HEADLINE = (
     "q_huber_mean",
     "q_systematic_sample",
     "q_histogram_2d",
+    # round-5 wave 62: seasonal decompose, pinball eval, Shapley
+    "q_seasonal_decompose",
+    "q_pinball_eval",
+    "q_shapley_attribution",
+    # round-5 wave 63: kappa, BH-FDR, nDCG
+    "q_cohens_kappa",
+    "q_bh_fdr",
+    "q_ndcg_eval",
+    # round-5 wave 64: Friedman, record linkage, Nelson-Aalen
+    "q_friedman_test",
+    "q_record_linkage",
+    "q_nelson_aalen",
+    # round-5 wave 65: CUPED, stratified ATE, Cochran's Q
+    "q_cuped_adjust",
+    "q_stratified_ate",
+    "q_cochran_q",
 )
 
 

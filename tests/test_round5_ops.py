@@ -539,3 +539,50 @@ def test_nelson_aalen_vs_km(spark, sf_dir):
         assert na[q].n_events == km[q].n_events
         s_upper = math.exp(-na[q].cumhaz_nano / 1e9)
         assert km[q].survival <= s_upper + 1e-4
+
+
+# --------------------------------------------------------------------------
+# wave 65: experimentation & causal depth
+# --------------------------------------------------------------------------
+
+def test_cuped_accounting_and_rho2(spark, sf_dir):
+    """Arms partition the users with non-null values; ρ² is a valid
+    squared correlation (0..1e6 ppm); both arms are populated (md5
+    coin at p=0.5 over ≥150 users)."""
+    row = _QUERIES["q_cuped_adjust"](spark, sf_dir).first()
+    n_users = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id").distinct().count()
+    )
+    assert row.n_t + row.n_c == n_users
+    assert row.n_t > 0 and row.n_c > 0
+    assert 0 <= row.rho2_ppm <= 1000000
+
+
+def test_stratified_ate_weights_fold(spark, sf_dir):
+    """Five strata cover every ordering customer; the reported ATE
+    equals the stratum-size-weighted mean of the per-stratum gaps
+    recomputed from the output rows (within 4-dp rounding)."""
+    rows = _QUERIES["q_stratified_ate"](spark, sf_dir).collect()
+    assert [r.stratum for r in rows] == [1, 2, 3, 4, 5]
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_treated + r.n_control for r in rows) == n_cust
+    valid = [r for r in rows if r.n_treated > 0 and r.n_control > 0]
+    want = sum(
+        (r.n_treated + r.n_control) * r.diff_dollars for r in valid
+    ) / sum(r.n_treated + r.n_control for r in valid)
+    assert abs(rows[0].ate_dollars - want) < 1e-2  # 4-dp per-row rounding
+    assert len({r.ate_dollars for r in rows}) == 1
+
+
+def test_cochran_q_bounds(spark, sf_dir):
+    """Q is nonnegative with df = k−1 = 2; each rater's flag total is
+    within [0, n_docs]."""
+    row = _QUERIES["q_cochran_q"](spark, sf_dir).first()
+    assert row.q_stat >= -1e-9
+    assert row.df == 2
+    for c in (row.c1, row.c2, row.c3):
+        assert 0 <= c <= row.n_docs

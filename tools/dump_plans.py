@@ -111,6 +111,7 @@ SHOW = (
     "q_pinball_eval", "q_shapley_attribution",
     "q_cohens_kappa", "q_bh_fdr", "q_ndcg_eval",
     "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
+    "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
 )
 
 

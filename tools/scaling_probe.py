@@ -116,6 +116,8 @@ SHOW = (
     "q_cohens_kappa", "q_bh_fdr", "q_ndcg_eval",
     # round-5 wave 64: blocked inference, ER, hazard
     "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
+    # round-5 wave 65: experimentation & causal depth
+    "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
 )
 
 
