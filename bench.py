@@ -327,6 +327,10 @@ HEADLINE = (
     "q_cuped_adjust",
     "q_stratified_ate",
     "q_cochran_q",
+    # round-5 wave 66: log-rank, Mann-Kendall, capture-recapture
+    "q_logrank_test",
+    "q_mann_kendall",
+    "q_capture_recapture",
 )
 
 

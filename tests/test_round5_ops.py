@@ -586,3 +586,69 @@ def test_cochran_q_bounds(spark, sf_dir):
     assert row.df == 2
     for c in (row.c1, row.c2, row.c3):
         assert 0 <= c <= row.n_docs
+
+
+# --------------------------------------------------------------------------
+# wave 66: nonparametric survival & trend depth
+# --------------------------------------------------------------------------
+
+def test_logrank_bounds(spark, sf_dir):
+    """χ² is nonnegative on 1 df; observed group-1 events can't exceed
+    the total event count; the pooled expectation is positive."""
+    row = _QUERIES["q_logrank_test"](spark, sf_dir).first()
+    total_events = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("last"))
+        .where(F.col("last") < F.lit("2001-02-01").cast("date"))
+        .count()
+    )
+    assert 0 <= row.o1 <= total_events
+    assert row.e1 > 0
+    assert row.chi2_logrank >= -1e-9
+    assert row.df == 1
+
+
+def test_mann_kendall_bounds_and_tiefree(spark, sf_dir):
+    """|S| ≤ n(n−1)/2 per year; z's sign follows S's; and the no-tie
+    variance premise holds — daily revenue cent values are distinct
+    within each year."""
+    rows = _QUERIES["q_mann_kendall"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.s_stat) <= r.n * (r.n - 1) // 2
+        if r.s_stat > 1:
+            assert r.z_mk > 0
+        elif r.s_stat < -1:
+            assert r.z_mk < 0
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("rev")
+        )
+    )
+    per_year = daily.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rev").alias("n_distinct"),
+    )
+    for r in per_year.collect():
+        assert r.n == r.n_distinct, f"ties in year {r.yr}"
+
+
+def test_capture_recapture_consistency(spark, sf_dir):
+    """Sample counts nest (m ≤ min(n₁,n₂) ≤ n_true); the Chapman
+    estimate is at least the union lower bound and within a loose 2×
+    band of the true population (p₁p₂N ≥ ~10 recaptures here)."""
+    row = _QUERIES["q_capture_recapture"](spark, sf_dir).first()
+    assert row.m12 <= min(row.n1, row.n2)
+    assert max(row.n1, row.n2) <= row.n_true
+    union = row.n1 + row.n2 - row.m12
+    assert row.n_hat_chapman >= union - 1
+    assert 0.5 * row.n_true <= row.n_hat_chapman <= 2.0 * row.n_true

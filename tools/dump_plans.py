@@ -112,6 +112,7 @@ SHOW = (
     "q_cohens_kappa", "q_bh_fdr", "q_ndcg_eval",
     "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
     "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
+    "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
 )
 
 

@@ -118,6 +118,8 @@ SHOW = (
     "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
     # round-5 wave 65: experimentation & causal depth
     "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
+    # round-5 wave 66: nonparametric survival & trend
+    "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
 )
 
 
@@ -206,6 +208,28 @@ def main() -> None:
         "  AND the ≥2-doc dup-digest set grows with it, so the join-back",
         "  stage carries linearly more rows on both sides; the shuffle key",
         "  is a uniform md5 digest (no skew) and no stage is super-linear.",
+        "- **q_poisson_bootstrap / q_permutation_test** — both fan every",
+        "  corpus row out ×B replicas (B=64) in one in-row explode feeding",
+        "  ONE map-side-combined aggregate: work is exactly B·n map rows,",
+        "  linear in n with a constant factor; the ratio reflects that",
+        "  constant becoming compute-bound once session overhead",
+        "  amortizes, not a plan change. At 100 TB B is the dial (and the",
+        "  explode can shard replicas across partitions).",
+        "- **q_fpgrowth_itemsets** — MLlib FPGrowth builds per-partition",
+        "  FP-trees then aggregates pattern supports: cost grows with",
+        "  basket count × frequent-pattern mass, and this templated",
+        "  fixture's brand co-occurrence density rises with corpus; the",
+        "  minSupport threshold is the at-scale dial (raising it bounds",
+        "  the pattern lattice regardless of corpus size).",
+        "- **q_link_prediction / q_local_clustering /",
+        "  q_degree_histogram / q_triangle_count / q_butterfly_count** —",
+        "  wedge/triangle enumeration carries Σ deg² rows by nature; the",
+        "  degree-ordered orientation bounds per-vertex fan-out by the",
+        "  smaller endpoint's degree (the standard census bound) and the",
+        "  fixture's densifying incidence grows that mass super-linearly.",
+        "  Production graphs at 100 TB cap fan-out with a degree",
+        "  threshold / sampling tier first — the enumeration shape is",
+        "  unchanged.",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
