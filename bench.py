@@ -331,6 +331,10 @@ HEADLINE = (
     "q_logrank_test",
     "q_mann_kendall",
     "q_capture_recapture",
+    # round-5 wave 67: Heaps' law, MRR, TTR profile
+    "q_heaps_law",
+    "q_mrr_eval",
+    "q_ttr_profile",
 )
 
 

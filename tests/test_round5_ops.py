@@ -652,3 +652,47 @@ def test_capture_recapture_consistency(spark, sf_dir):
     union = row.n1 + row.n2 - row.m12
     assert row.n_hat_chapman >= union - 1
     assert 0.5 * row.n_true <= row.n_hat_chapman <= 2.0 * row.n_true
+
+
+# --------------------------------------------------------------------------
+# wave 67: corpus measurement & retrieval-eval depth
+# --------------------------------------------------------------------------
+
+def test_heaps_law_monotone_and_sublinear(spark, sf_dir):
+    """Nested prefixes: token mass and vocabulary are nondecreasing in
+    k, V ≤ N everywhere, and every consecutive slope β̂ obeys the
+    structural bound β ≤ 1 (a token adds at most one type)."""
+    rows = _QUERIES["q_heaps_law"](spark, sf_dir).collect()
+    assert [r.k for r in rows] == [1, 2, 3, 4]
+    assert rows[0].beta_micro is None
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens >= a.n_tokens
+        assert b.v_distinct >= a.v_distinct
+        assert 0 <= b.beta_micro <= 1000001
+    for r in rows:
+        assert r.v_distinct <= r.n_tokens
+
+
+def test_mrr_consistency(spark, sf_dir):
+    """Every nation finds a relevant item (decile 1 is nonempty by
+    ntile construction); rr reproduces 1/rank at micro precision; the
+    repeated MRR column equals the mean of the per-nation rr values."""
+    rows = _QUERIES["q_mrr_eval"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.first_rel_rank >= 1
+        assert r.rr_micro == int(1000000.0 / r.first_rel_rank + 0.5)
+    want = sum(1000000.0 / r.first_rel_rank for r in rows) / len(rows)
+    assert abs(rows[0].mrr_micro - want) <= 1
+    assert len({r.mrr_micro for r in rows}) == 1
+
+
+def test_ttr_bounds(spark, sf_dir):
+    """Hapax ⊆ types ⊆ token mass per language; both ratios live in
+    (0, 1] micro."""
+    rows = _QUERIES["q_ttr_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr_micro <= 1000000
+        assert 0 <= r.hapax_micro <= 1000000

@@ -113,6 +113,7 @@ SHOW = (
     "q_friedman_test", "q_record_linkage", "q_nelson_aalen",
     "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
     "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
+    "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
 )
 
 

@@ -120,6 +120,8 @@ SHOW = (
     "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
     # round-5 wave 66: nonparametric survival & trend
     "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
+    # round-5 wave 67: corpus measurement & retrieval eval
+    "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
 )
 
 
