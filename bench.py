@@ -335,6 +335,10 @@ HEADLINE = (
     "q_heaps_law",
     "q_mrr_eval",
     "q_ttr_profile",
+    # round-5 wave 68: DP counts, periodogram, logistic GD step
+    "q_dp_counts",
+    "q_periodogram",
+    "q_logistic_gd_step",
 )
 
 

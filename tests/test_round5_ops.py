@@ -696,3 +696,52 @@ def test_ttr_bounds(spark, sf_dir):
         assert 0 <= r.n_hapax <= r.n_types <= r.n_tokens
         assert 0 < r.ttr_micro <= 1000000
         assert 0 <= r.hapax_micro <= 1000000
+
+
+# --------------------------------------------------------------------------
+# wave 68: DP release, periodogram, distributed gradient step
+# --------------------------------------------------------------------------
+
+def test_dp_counts_error_accounting(spark, sf_dir):
+    """True counts reconcile with the customer table; the published
+    error column is exactly |noisy − true| for every segment."""
+    rows = _QUERIES["q_dp_counts"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.true_count for r in rows) == n_cust
+    for r in rows:
+        assert abs(r.noisy_count - r.true_count) == r.abs_error
+
+
+def test_periodogram_invariants(spark, sf_dir):
+    """All five candidate periods report over the same day count;
+    power is nonnegative."""
+    rows = _QUERIES["q_periodogram"](spark, sf_dir).collect()
+    assert sorted(r.period_days for r in rows) == [7, 14, 30, 91, 365]
+    assert len({r.n for r in rows}) == 1
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate")).distinct().count()
+    )
+    assert rows[0].n == n_days
+    for r in rows:
+        assert r.power_cents2 >= 0
+
+
+def test_logistic_gd_step_recomputes(spark, sf_dir):
+    """Per-row residuals live in (−1, 1) so |∇| < n·1e6 micro; the
+    published next weights reproduce w − η·∇/n from the published
+    gradient (the whole step is auditable from the output row)."""
+    row = _QUERIES["q_logistic_gd_step"](spark, sf_dir).first()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert row.n == n_users
+    assert abs(row.g0_micro) <= row.n * 1000000
+    import math
+    assert row.w0_next_micro == math.floor(
+        -1.0 * 1e6 - 0.5 * row.g0_micro / row.n + 0.5
+    )
+    assert row.w1_next_micro == math.floor(
+        0.1 * 1e6 - 0.5 * row.g1_micro / row.n + 0.5
+    )

@@ -114,6 +114,7 @@ SHOW = (
     "q_cuped_adjust", "q_stratified_ate", "q_cochran_q",
     "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
     "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
+    "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
 )
 
 

@@ -122,6 +122,8 @@ SHOW = (
     "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
     # round-5 wave 67: corpus measurement & retrieval eval
     "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
+    # round-5 wave 68: DP release, periodogram, gradient step
+    "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
 )
 
 
