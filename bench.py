@@ -339,6 +339,10 @@ HEADLINE = (
     "q_dp_counts",
     "q_periodogram",
     "q_logistic_gd_step",
+    # round-5 wave 69: lang-ID confusion, cluster purity, PR curve
+    "q_langid_confusion",
+    "q_cluster_purity",
+    "q_pr_curve",
 )
 
 

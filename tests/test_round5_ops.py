@@ -745,3 +745,60 @@ def test_logistic_gd_step_recomputes(spark, sf_dir):
     assert row.w1_next_micro == math.floor(
         0.1 * 1e6 - 0.5 * row.g1_micro / row.n + 0.5
     )
+
+
+# --------------------------------------------------------------------------
+# wave 69: classifier & clustering evaluation
+# --------------------------------------------------------------------------
+
+def test_langid_confusion_closes(spark, sf_dir):
+    """Cell counts sum to the corpus; per-actual shares sum to ~1e6;
+    accuracy equals the diagonal mass over the total."""
+    rows = _QUERIES["q_langid_confusion"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    total = sum(r.n for r in rows)
+    assert total == n_docs
+    diag = sum(r.n for r in rows if r.actual_lang == r.predicted_lang)
+    assert abs(rows[0].accuracy_ppm - diag * 1e6 / total) <= 1
+    by_actual: dict = {}
+    for r in rows:
+        by_actual.setdefault(r.actual_lang, 0)
+        by_actual[r.actual_lang] += r.share_of_actual_ppm
+    for lang, s in by_actual.items():
+        assert abs(s - 1000000) <= len(rows), lang
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    """Majority ≤ bucket size; per-bucket purity in (0, 1e6]; bucket
+    sizes sum to the embedding count; overall purity is the weighted
+    mean of the per-bucket values."""
+    rows = _QUERIES["q_cluster_purity"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_bucket for r in rows) == n
+    for r in rows:
+        assert 0 < r.n_majority <= r.n_bucket
+        assert 0 < r.purity_ppm <= 1000000
+    want = sum(r.n_majority for r in rows) * 1e6 / n
+    assert abs(rows[0].overall_purity_ppm - want) <= 1
+
+
+def test_pr_curve_monotone_recall_and_ap(spark, sf_dir):
+    """Recall is nondecreasing as the threshold drops; the loosest
+    threshold reaches recall 1; AP recomputed from the published
+    points matches the published value; AP ≥ the positive base rate
+    (a score no worse than random on this fixture)."""
+    rows = sorted(
+        _QUERIES["q_pr_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r.threshold,
+    )
+    recs = [r.recall_ppm for r in rows]
+    assert recs == sorted(recs)
+    assert recs[-1] == 1000000
+    prev_rec = 0.0
+    ap = 0.0
+    for r in rows:
+        prec = r.tp / r.pred_pos
+        rec = r.recall_ppm / 1e6
+        ap += (rec - prev_rec) * prec
+        prev_rec = rec
+    assert abs(rows[0].ap_micro - ap * 1e6) <= 3

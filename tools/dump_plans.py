@@ -115,6 +115,7 @@ SHOW = (
     "q_logrank_test", "q_mann_kendall", "q_capture_recapture",
     "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
     "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
+    "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
 )
 
 

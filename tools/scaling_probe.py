@@ -124,6 +124,8 @@ SHOW = (
     "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
     # round-5 wave 68: DP release, periodogram, gradient step
     "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
+    # round-5 wave 69: classifier & clustering evaluation
+    "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
 )
 
 
