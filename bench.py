@@ -343,6 +343,10 @@ HEADLINE = (
     "q_langid_confusion",
     "q_cluster_purity",
     "q_pr_curve",
+    # round-5 wave 70: PIT join, effective sample size, DKW band
+    "q_point_in_time_join",
+    "q_ess_weights",
+    "q_dkw_band",
 )
 
 

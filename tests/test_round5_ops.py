@@ -802,3 +802,52 @@ def test_pr_curve_monotone_recall_and_ap(spark, sf_dir):
         ap += (rec - prev_rec) * prec
         prev_rec = rec
     assert abs(rows[0].ap_micro - ap * 1e6) <= 3
+
+
+# --------------------------------------------------------------------------
+# wave 70: point-in-time correctness & sampling diagnostics
+# --------------------------------------------------------------------------
+
+def test_pit_join_accounts_every_purchase(spark, sf_dir):
+    """Every purchase lands in exactly one state bucket (including
+    'none' for purchases before any state event); states are drawn
+    from the non-purchase event vocabulary."""
+    rows = _QUERIES["q_point_in_time_join"](spark, sf_dir).collect()
+    n_purch = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purch
+    vocab = {
+        r.event_type
+        for r in load(spark, sf_dir, "events")
+        .select("event_type").distinct().collect()
+    } - {"purchase"}
+    for r in rows:
+        assert r.state_at in vocab | {"none"}
+        assert 0 < r.n_users <= r.n_purchases
+
+
+def test_ess_bounds(spark, sf_dir):
+    """1 ≤ ESS ≤ n always (Cauchy-Schwarz), with equality at n only
+    for uniform weights — so the ratio lives in (0, 1e6]."""
+    row = _QUERIES["q_ess_weights"](spark, sf_dir).first()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert row.n == n_docs
+    assert 1 <= row.ess <= row.n
+    assert 0 < row.ess_ratio_ppm <= 1000000
+
+
+def test_dkw_band_brackets_ecdf(spark, sf_dir):
+    """The band contains the point estimate at every probe; ECDF is
+    nondecreasing across probes; band bounds are clamped to [0, 1e6]."""
+    rows = _QUERIES["q_dkw_band"](spark, sf_dir).collect()
+    assert [r.probe_dollars for r in rows] == [
+        50000, 100000, 150000, 250000, 400000
+    ]
+    prev = -1
+    for r in rows:
+        assert 0 <= r.lo_ppm <= r.ecdf_ppm <= r.hi_ppm <= 1000000
+        assert r.ecdf_ppm >= prev
+        prev = r.ecdf_ppm

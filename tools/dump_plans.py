@@ -116,6 +116,7 @@ SHOW = (
     "q_heaps_law", "q_mrr_eval", "q_ttr_profile",
     "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
     "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
+    "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
 )
 
 

@@ -126,6 +126,8 @@ SHOW = (
     "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
     # round-5 wave 69: classifier & clustering evaluation
     "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
+    # round-5 wave 70: point-in-time + sampling diagnostics
+    "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
 )
 
 
