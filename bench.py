@@ -347,6 +347,10 @@ HEADLINE = (
     "q_point_in_time_join",
     "q_ess_weights",
     "q_dkw_band",
+    # round-5 wave 71: Wilson CI, Markov stationary, Shewhart chart
+    "q_wilson_ci",
+    "q_markov_stationary",
+    "q_shewhart_chart",
 )
 
 

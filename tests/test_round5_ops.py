@@ -851,3 +851,57 @@ def test_dkw_band_brackets_ecdf(spark, sf_dir):
         assert 0 <= r.lo_ppm <= r.ecdf_ppm <= r.hi_ppm <= 1000000
         assert r.ecdf_ppm >= prev
         prev = r.ecdf_ppm
+
+
+# --------------------------------------------------------------------------
+# wave 71: rates, chains & process control
+# --------------------------------------------------------------------------
+
+def test_wilson_ci_brackets_rate(spark, sf_dir):
+    """lo ≤ rate ≤ hi with all three in [0, 1e6]; (n, k) nest; segment
+    sizes sum to the ordering-customer count."""
+    rows = _QUERIES["q_wilson_ci"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r.k <= r.n
+        assert 0 <= r.lo_ppm <= r.rate_ppm <= r.hi_ppm <= 1000000
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    """π stays a probability vector (Σ = 1e9 nano within per-step
+    half-ulp drift) and tracks the chain's empirical state shares
+    (the event stream is near-i.i.d., so the stationary distribution
+    must sit close to the marginal)."""
+    rows = _QUERIES["q_markov_stationary"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    total = sum(r.pi_nano for r in rows)
+    assert abs(total - 10**9) <= 12 * 5  # 12 steps × 5 states × ½ nano
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    shares = {
+        r.event_type: r.cnt / n
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in rows:
+        assert abs(r.pi_nano / 1e9 - shares[r.state]) < 0.05, r.state
+
+
+def test_shewhart_counts_bounded(spark, sf_dir):
+    """Flag counts are bounded by the day count; the worst |z| is
+    positive and at least as large as the 3σ rule requires whenever a
+    flag fired."""
+    row = _QUERIES["q_shewhart_chart"](spark, sf_dir).first()
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate")).distinct().count()
+    )
+    assert row.n_days == n_days
+    assert 0 <= row.n_above_ucl + row.n_below_lcl <= n_days
+    assert row.max_abs_z > 0
+    if row.n_above_ucl + row.n_below_lcl > 0:
+        assert row.max_abs_z > 3.0

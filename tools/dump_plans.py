@@ -117,6 +117,7 @@ SHOW = (
     "q_dp_counts", "q_periodogram", "q_logistic_gd_step",
     "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
     "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
+    "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
 )
 
 

@@ -128,6 +128,8 @@ SHOW = (
     "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
     # round-5 wave 70: point-in-time + sampling diagnostics
     "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
+    # round-5 wave 71: rates, chains, process control
+    "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
 )
 
 
