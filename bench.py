@@ -351,6 +351,10 @@ HEADLINE = (
     "q_wilson_ci",
     "q_markov_stationary",
     "q_shewhart_chart",
+    # round-5 wave 72: Hill tail, Gumbel maxima, odds ratio
+    "q_hill_tail",
+    "q_gumbel_maxima",
+    "q_odds_ratio",
 )
 
 

@@ -905,3 +905,46 @@ def test_shewhart_counts_bounded(spark, sf_dir):
     assert row.max_abs_z > 0
     if row.n_above_ucl + row.n_below_lcl > 0:
         assert row.max_abs_z > 3.0
+
+
+# --------------------------------------------------------------------------
+# wave 72: tails, extremes & epidemiological rates
+# --------------------------------------------------------------------------
+
+def test_hill_tail_positive(spark, sf_dir):
+    """α̂ is positive and finite; f_(k) is a real frequency (≥1); k
+    matches the declared order-statistic count."""
+    row = _QUERIES["q_hill_tail"](spark, sf_dir).first()
+    assert row.k == 20
+    assert row.f_k >= 1
+    assert row.hill_alpha_micro > 0
+
+
+def test_gumbel_return_level_dominates_mean(spark, sf_dir):
+    """The Gumbel location sits below the block-max mean (γβ > 0); the
+    12-block return level exceeds the mean block max (it estimates the
+    once-per-12-blocks extreme); β > 0."""
+    row = _QUERIES["q_gumbel_maxima"](spark, sf_dir).first()
+    assert row.beta_cents > 0
+    assert row.mu_cents < row.mean_max_cents
+    assert row.return_level_12_cents > row.mean_max_cents
+    n_months = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", F.to_date("o_orderdate")))
+        .distinct().count()
+    )
+    assert row.n_blocks == n_months
+
+
+def test_odds_ratio_consistency(spark, sf_dir):
+    """Cells partition the orders table; the Woolf interval brackets
+    the point OR; OR and RR agree in direction (both >1 or both ≤1
+    when the outcome is rare-ish or exposure balanced — here simply:
+    same side of 1 within rounding)."""
+    row = _QUERIES["q_odds_ratio"](spark, sf_dir).first()
+    n = load(spark, sf_dir, "orders").count()
+    assert row.a + row.b + row.c + row.d == n
+    assert row.or_lo <= row.odds_ratio <= row.or_hi
+    assert (row.odds_ratio >= 1) == (row.relative_risk >= 1) or (
+        abs(row.odds_ratio - 1) < 0.05
+    )

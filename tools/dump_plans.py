@@ -118,6 +118,7 @@ SHOW = (
     "q_langid_confusion", "q_cluster_purity", "q_pr_curve",
     "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
     "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
+    "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
 )
 
 

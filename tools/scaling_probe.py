@@ -130,6 +130,8 @@ SHOW = (
     "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
     # round-5 wave 71: rates, chains, process control
     "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
+    # round-5 wave 72: tails, extremes, epidemiological rates
+    "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
 )
 
 
