@@ -355,6 +355,10 @@ HEADLINE = (
     "q_hill_tail",
     "q_gumbel_maxima",
     "q_odds_ratio",
+    # round-5 wave 73: price indices, overdispersion, audience overlap
+    "q_price_index",
+    "q_overdispersion",
+    "q_audience_overlap",
 )
 
 

@@ -76,9 +76,9 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     β < 1 is the Heaps signature a vocab budget extrapolates with.
 
     Scale shape: ONE tokenize pass fans each token row across the {k}
-    prefix memberships via a {k}-row broadcast (bounded ×{k} fan-out,
-    not a second scan per prefix); the distinct counts shuffle (k,
-    token) pairs once. At 100 TB the exact distincts swap for HLL
+    prefix memberships via a bounded ×{k} in-row explode (no join, no
+    second scan per prefix); the distinct counts shuffle (k, token)
+    pairs once. At 100 TB the exact distincts swap for HLL
     sketches (``q_hll_distinct``) with the same prefix lattice."""
     bucket = (
         F.floor(
@@ -112,9 +112,14 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    ks = spark.range(1, _HEAPS_K + 1).select(F.col("id").alias("k"))
     pref = (
-        tok.crossJoin(F.broadcast(ks))
+        tok.select(
+            "bucket",
+            "w",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _HEAPS_K + 1)])
+            ).alias("k"),
+        )
         .groupBy("k")
         .agg(
             F.count(F.when(F.col("bucket") <= F.col("k"), 1))

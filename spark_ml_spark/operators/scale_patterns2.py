@@ -156,8 +156,8 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the period the seasonal operators should model.
 
     Scale shape: the corpus reduces to the calendar grain first; the
-    {k}-period fan-out is a bounded broadcast cross of the day table
-    (≤ {k}× calendar rows), one map-side-combined aggregate per
+    {k}-period fan-out is a bounded ×{k} in-row explode of the day
+    table (no join), one map-side-combined aggregate per
     period, no windows at all — a shape that runs identically at any
     corpus size."""
     d = (
@@ -174,12 +174,15 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("y")
         )
     )
-    ps = spark.createDataFrame(
-        [(int(p),) for p in _PG_PERIODS], "p bigint"
-    )
     ang = F.lit(_TWO_PI) * F.col("t") / F.col("p")
     proj = (
-        d.crossJoin(F.broadcast(ps))
+        d.select(
+            "t",
+            "y",
+            F.explode(
+                F.array(*[F.lit(int(p)).cast("bigint") for p in _PG_PERIODS])
+            ).alias("p"),
+        )
         .groupBy("p")
         .agg(
             F.sum(

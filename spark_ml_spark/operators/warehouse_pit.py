@@ -181,18 +181,22 @@ def q_dkw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     over x, so the {k} probes inherit simultaneous coverage — an ECDF
     report that carries its own error bar.
 
-    Scale shape: one corpus pass fanned across the {k}-row broadcast
-    probe grid into conditional counts (map-side combined); the band
+    Scale shape: one corpus pass fanned ×{k} by an in-row explode (no
+    join) into conditional counts (map-side combined); the band
     arithmetic runs on {k} rows."""
     o = load(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
         .cast("bigint").alias("pc")
     )
-    probes = spark.createDataFrame(
-        [(int(p),) for p in _DKW_PROBES], "probe_dollars bigint"
-    )
     e = (
-        o.crossJoin(F.broadcast(probes))
+        o.select(
+            "pc",
+            F.explode(
+                F.array(
+                    *[F.lit(int(p)).cast("bigint") for p in _DKW_PROBES]
+                )
+            ).alias("probe_dollars"),
+        )
         .groupBy("probe_dollars")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -948,3 +948,43 @@ def test_odds_ratio_consistency(spark, sf_dir):
     assert (row.odds_ratio >= 1) == (row.relative_risk >= 1) or (
         abs(row.odds_ratio - 1) < 0.05
     )
+
+
+# --------------------------------------------------------------------------
+# wave 73: BI & count-model depth
+# --------------------------------------------------------------------------
+
+def test_price_index_fisher_between(spark, sf_dir):
+    """Fisher is the geometric mean, so it lies between Laspeyres and
+    Paasche; all three are positive; the common-part set is nonempty."""
+    row = _QUERIES["q_price_index"](spark, sf_dir).first()
+    assert row.n_parts > 0
+    lo = min(row.laspeyres_ppm, row.paasche_ppm)
+    hi = max(row.laspeyres_ppm, row.paasche_ppm)
+    assert lo - 1 <= row.fisher_ppm <= hi + 1
+    assert lo > 0
+
+
+def test_overdispersion_recomputes(spark, sf_dir):
+    """The Fano factor reproduces var/mean from the published moments;
+    the verdict flag agrees with Fano vs 1."""
+    row = _QUERIES["q_overdispersion"](spark, sf_dir).first()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert row.n == n_users
+    want = row.var_milli / row.mean_milli * 1000.0
+    assert abs(row.fano_milli - want) <= 2
+    assert row.overdispersed == (1 if row.fano_milli > 1000 else 0)
+
+
+def test_audience_overlap_bounds(spark, sf_dir):
+    """Intersections nest within both week sizes; Jaccard lives in
+    [0, 1e6]; every consecutive week pair reports."""
+    rows = _QUERIES["q_audience_overlap"](spark, sf_dir).collect()
+    assert rows
+    weeks = [r.week for r in rows]
+    assert weeks == sorted(weeks)
+    for r in rows:
+        assert 0 <= r.n_common <= min(r.n_week, r.n_next)
+        assert 0 <= r.jaccard_ppm <= 1000000

@@ -119,6 +119,7 @@ SHOW = (
     "q_point_in_time_join", "q_ess_weights", "q_dkw_band",
     "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
     "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
+    "q_price_index", "q_overdispersion", "q_audience_overlap",
 )
 
 

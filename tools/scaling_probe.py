@@ -132,6 +132,8 @@ SHOW = (
     "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
     # round-5 wave 72: tails, extremes, epidemiological rates
     "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
+    # round-5 wave 73: BI & count-model depth
+    "q_price_index", "q_overdispersion", "q_audience_overlap",
 )
 
 
