@@ -359,6 +359,10 @@ HEADLINE = (
     "q_price_index",
     "q_overdispersion",
     "q_audience_overlap",
+    # round-5 wave 74: median CI, ECE, Simpson audit
+    "q_median_ci",
+    "q_ece",
+    "q_simpson_check",
 )
 
 

@@ -988,3 +988,47 @@ def test_audience_overlap_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_common <= min(r.n_week, r.n_next)
         assert 0 <= r.jaccard_ppm <= 1000000
+
+
+# --------------------------------------------------------------------------
+# wave 74: distribution-free CI, calibration summary, Simpson audit
+# --------------------------------------------------------------------------
+
+def test_median_ci_brackets_percentile(spark, sf_dir):
+    """The order-statistic CI brackets the median; the median matches
+    an independent percentile computation within one cent."""
+    row = _QUERIES["q_median_ci"](spark, sf_dir).first()
+    assert row.ci_lo_cents <= row.median_cents <= row.ci_hi_cents
+    med = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("bigint").alias("pc")
+        )
+        .agg(F.expr("percentile(pc, 0.5)").alias("m"))
+        .first().m
+    )
+    assert abs(row.median_cents - med) <= 1
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert row.n == n_orders
+
+
+def test_ece_bounds(spark, sf_dir):
+    """ECE ≤ MCE (mean of |gaps| vs max); both in [0, 1e6]; bins cover
+    the corpus."""
+    row = _QUERIES["q_ece"](spark, sf_dir).first()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert row.n == n_docs
+    assert 0 <= row.ece_micro <= row.mce_micro <= 1000000
+
+
+def test_simpson_flag_consistent(spark, sf_dir):
+    """The flag reproduces sign(agg) ≠ sign(within) from the published
+    gaps; the sign census is bounded by the stratum count."""
+    row = _QUERIES["q_simpson_check"](spark, sf_dir).first()
+    assert row.n_strata == 5
+    assert 0 <= row.n_pos_strata <= row.n_strata
+    want = 1 if (row.agg_diff_dollars > 0) != (
+        row.within_diff_dollars > 0
+    ) else 0
+    assert row.simpson_flag == want

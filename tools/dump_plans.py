@@ -120,6 +120,7 @@ SHOW = (
     "q_wilson_ci", "q_markov_stationary", "q_shewhart_chart",
     "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
     "q_price_index", "q_overdispersion", "q_audience_overlap",
+    "q_median_ci", "q_ece", "q_simpson_check",
 )
 
 

@@ -134,6 +134,8 @@ SHOW = (
     "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
     # round-5 wave 73: BI & count-model depth
     "q_price_index", "q_overdispersion", "q_audience_overlap",
+    # round-5 wave 74: median CI, calibration error, Simpson audit
+    "q_median_ci", "q_ece", "q_simpson_check",
 )
 
 
