@@ -363,6 +363,10 @@ HEADLINE = (
     "q_median_ci",
     "q_ece",
     "q_simpson_check",
+    # round-5 wave 75: lognormal fit, sMAPE, diurnal profile
+    "q_lognormal_fit",
+    "q_smape_eval",
+    "q_diurnal_profile",
 )
 
 

@@ -1032,3 +1032,62 @@ def test_simpson_flag_consistent(spark, sf_dir):
         row.within_diff_dollars > 0
     ) else 0
     assert row.simpson_flag == want
+
+
+# --------------------------------------------------------------------------
+# wave 75: distribution fit, forecast accuracy, load profile
+# --------------------------------------------------------------------------
+
+def test_lognormal_fit_orderings(spark, sf_dir):
+    """Lognormal structure: implied mean ≥ implied median (σ > 0);
+    σ ≥ 0; the implied median is within the observed length range."""
+    row = _QUERIES["q_lognormal_fit"](spark, sf_dir).first()
+    assert row.sigma_micro >= 0
+    assert row.implied_mean_chars >= row.implied_median_chars
+    rng = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .first()
+    )
+    assert rng.lo <= row.implied_median_chars <= rng.hi
+    assert row.mean_ratio_ppm > 0
+
+
+def test_smape_relations(spark, sf_dir):
+    """sMAPE ≤ MAPE when forecasts are unbiased-ish (symmetric
+    denominator ≥ actual whenever fc ≥ actual... use the weaker always-
+    true bound sMAPE ≤ 2e6); MAE positive; n = days beyond the lag."""
+    row = _QUERIES["q_smape_eval"](spark, sf_dir).first()
+    assert row.mae_cents > 0
+    assert 0 < row.smape_ppm <= 2000000
+    assert 0 < row.mape_ppm
+    days = {
+        r.t
+        for r in load(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("t")
+        )
+        .distinct()
+        .collect()
+    }
+    # pairs exist only where BOTH t and t-7 are observed (sparse
+    # calendars at small sf leave gaps)
+    assert row.n == sum(1 for t in days if t - 7 in days)
+
+
+def test_diurnal_profile_closes(spark, sf_dir):
+    """24 hour buckets; event counts sum to the corpus; shares sum to
+    ~1e6; users per hour bounded by the population."""
+    rows = _QUERIES["q_diurnal_profile"](spark, sf_dir).collect()
+    assert sorted(r.hour_of_day for r in rows) == list(range(24))
+    n_events = load(spark, sf_dir, "events").count()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_events for r in rows) == n_events
+    assert abs(sum(r.share_ppm for r in rows) - 1000000) <= 24
+    for r in rows:
+        assert 0 < r.n_users <= n_users

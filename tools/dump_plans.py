@@ -121,6 +121,7 @@ SHOW = (
     "q_hill_tail", "q_gumbel_maxima", "q_odds_ratio",
     "q_price_index", "q_overdispersion", "q_audience_overlap",
     "q_median_ci", "q_ece", "q_simpson_check",
+    "q_lognormal_fit", "q_smape_eval", "q_diurnal_profile",
 )
 
 

@@ -136,6 +136,8 @@ SHOW = (
     "q_price_index", "q_overdispersion", "q_audience_overlap",
     # round-5 wave 74: median CI, calibration error, Simpson audit
     "q_median_ci", "q_ece", "q_simpson_check",
+    # round-5 wave 75: lognormal fit, sMAPE, diurnal profile
+    "q_lognormal_fit", "q_smape_eval", "q_diurnal_profile",
 )
 
 
