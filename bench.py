@@ -367,6 +367,10 @@ HEADLINE = (
     "q_lognormal_fit",
     "q_smape_eval",
     "q_diurnal_profile",
+    # round-5 wave 76: JS divergence, rank churn, best F1
+    "q_js_divergence",
+    "q_rank_churn",
+    "q_best_f1",
 )
 
 

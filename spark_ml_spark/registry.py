@@ -74,6 +74,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.bi_depth2",
     "spark_ml_spark.operators.inference_depth2",
     "spark_ml_spark.operators.profiles",
+    "spark_ml_spark.operators.divergence",
 )
 
 
@@ -106,7 +107,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: warehouse depth, integrity, fairness, survival) plus anything r5 adds
 #: are the r6 rotation's queue.
 #:
-#: r6 ROTATION NOTE: r5 added 78 queries (waves 49-75: fuzzy matching,
+#: r6 ROTATION NOTE: r5 added 81 queries (waves 49-76: fuzzy matching,
 #: MERGE/CDC, robust/resampling stats, link prediction, classical-ML
 #: depth, SQL-dialect surface, t-closeness/xcorr, conformal/lift/
 #: McNemar, semi-additive/snowflake/permutation, MRL/LTV/distribution
@@ -119,10 +120,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: PIT-join/ESS/DKW-band, Wilson-CI/Markov-stationary/Shewhart,
 #: Hill-tail/Gumbel-maxima/odds-ratio, price-index/overdispersion/
 #: audience-overlap, median-CI/ECE/Simpson-audit,
-#: lognormal-fit/sMAPE/diurnal-profile).
+#: lognormal-fit/sMAPE/diurnal-profile, JS-divergence/rank-churn/
+#: best-F1).
 #: Never-graded after r5 =
 #: ``registered − union(CORRECTNESS_r0*.json keys)`` ≈ 30 (r4 tail) +
-#: 78 (r5) = 108 > 50 — so r6 fills all 50 slots from that set in
+#: 81 (r5) = 111 > 50 — so r6 fills all 50 slots from that set in
 #: registration order and r7 takes the remainder; compute the exact
 #: list programmatically as this round did.
 _GRADED_WINDOW = (

@@ -1091,3 +1091,37 @@ def test_diurnal_profile_closes(spark, sf_dir):
     assert abs(sum(r.share_ppm for r in rows) - 1000000) <= 24
     for r in rows:
         assert 0 < r.n_users <= n_users
+
+
+# --------------------------------------------------------------------------
+# wave 76: divergence, rank stability & operating point
+# --------------------------------------------------------------------------
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """JS ≤ ln2 (693147 micro) and nonnegative; JS ≤ (KL_pq + KL_qp)/2
+    (Jensen); both KLs nonnegative."""
+    row = _QUERIES["q_js_divergence"](spark, sf_dir).first()
+    assert 0 <= row.js_micro <= 693148
+    assert row.kl_pq_micro >= 0 and row.kl_qp_micro >= 0
+    assert row.js_micro <= (row.kl_pq_micro + row.kl_qp_micro) / 2 + 1
+
+
+def test_rank_churn_set_arithmetic(spark, sf_dir):
+    """Overlap nests within both top sets; new entrants complement the
+    stayers; Jaccard recomputes from the published counts."""
+    row = _QUERIES["q_rank_churn"](spark, sf_dir).first()
+    assert 0 <= row.n_stay <= min(row.n0, row.n1)
+    assert row.n_new == row.n1 - row.n_stay
+    want = row.n_stay * 1e6 / (row.n0 + row.n1 - row.n_stay)
+    assert abs(row.jaccard_ppm - want) <= 1
+
+
+def test_best_f1_dominates_pr_points(spark, sf_dir):
+    """The argmax-F1 threshold's F1 is ≥ the F1 implied by every point
+    of q_pr_curve (same construction, so this pins the argmax)."""
+    best = _QUERIES["q_best_f1"](spark, sf_dir).first()
+    pr = _QUERIES["q_pr_curve"](spark, sf_dir).collect()
+    total_pos = max(r.tp for r in pr)
+    for r in pr:
+        f1 = 2.0 * r.tp * 1e6 / (r.pred_pos + total_pos)
+        assert best.f1_ppm >= int(f1 + 0.5) - 1

@@ -122,6 +122,7 @@ SHOW = (
     "q_price_index", "q_overdispersion", "q_audience_overlap",
     "q_median_ci", "q_ece", "q_simpson_check",
     "q_lognormal_fit", "q_smape_eval", "q_diurnal_profile",
+    "q_js_divergence", "q_rank_churn", "q_best_f1",
 )
 
 

@@ -138,6 +138,8 @@ SHOW = (
     "q_median_ci", "q_ece", "q_simpson_check",
     # round-5 wave 75: lognormal fit, sMAPE, diurnal profile
     "q_lognormal_fit", "q_smape_eval", "q_diurnal_profile",
+    # round-5 wave 76: JS divergence, rank churn, best F1
+    "q_js_divergence", "q_rank_churn", "q_best_f1",
 )
 
 
