@@ -371,6 +371,10 @@ HEADLINE = (
     "q_js_divergence",
     "q_rank_churn",
     "q_best_f1",
+    # round-5 wave 77: boxplot, growth accounting, return rate
+    "q_boxplot_stats",
+    "q_growth_accounting",
+    "q_return_rate",
 )
 
 

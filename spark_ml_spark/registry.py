@@ -75,6 +75,7 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.inference_depth2",
     "spark_ml_spark.operators.profiles",
     "spark_ml_spark.operators.divergence",
+    "spark_ml_spark.operators.product_analytics",
 )
 
 
@@ -107,7 +108,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: warehouse depth, integrity, fairness, survival) plus anything r5 adds
 #: are the r6 rotation's queue.
 #:
-#: r6 ROTATION NOTE: r5 added 81 queries (waves 49-76: fuzzy matching,
+#: r6 ROTATION NOTE: r5 added 84 queries (waves 49-77: fuzzy matching,
 #: MERGE/CDC, robust/resampling stats, link prediction, classical-ML
 #: depth, SQL-dialect surface, t-closeness/xcorr, conformal/lift/
 #: McNemar, semi-additive/snowflake/permutation, MRL/LTV/distribution
@@ -121,10 +122,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Hill-tail/Gumbel-maxima/odds-ratio, price-index/overdispersion/
 #: audience-overlap, median-CI/ECE/Simpson-audit,
 #: lognormal-fit/sMAPE/diurnal-profile, JS-divergence/rank-churn/
-#: best-F1).
+#: best-F1, boxplot/growth-accounting/return-rate).
 #: Never-graded after r5 =
 #: ``registered − union(CORRECTNESS_r0*.json keys)`` ≈ 30 (r4 tail) +
-#: 81 (r5) = 111 > 50 — so r6 fills all 50 slots from that set in
+#: 84 (r5) = 114 > 50 — so r6 fills all 50 slots from that set in
 #: registration order and r7 takes the remainder; compute the exact
 #: list programmatically as this round did.
 _GRADED_WINDOW = (

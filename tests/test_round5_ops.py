@@ -1125,3 +1125,61 @@ def test_best_f1_dominates_pr_points(spark, sf_dir):
     for r in pr:
         f1 = 2.0 * r.tp * 1e6 / (r.pred_pos + total_pos)
         assert best.f1_ppm >= int(f1 + 0.5) - 1
+
+
+# --------------------------------------------------------------------------
+# wave 77: product & quality analytics
+# --------------------------------------------------------------------------
+
+def test_boxplot_quartile_order(spark, sf_dir):
+    """q1 ≤ median ≤ q3 per segment; outliers are a strict minority;
+    segment sizes sum to the joined order count."""
+    rows = _QUERIES["q_boxplot_stats"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    for r in rows:
+        assert r.q1_cents <= r.median_cents <= r.q3_cents
+        assert 0 <= r.n_outliers < r.n / 2
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """active(t) = new + retained + resurrected equals the weekly
+    distinct-user count; churn(t) = active(t−1) − retained(t); week 0
+    is all-new."""
+    rows = {
+        r.week: r
+        for r in _QUERIES["q_growth_accounting"](spark, sf_dir).collect()
+    }
+    weekly = {
+        r.wk: r.cnt
+        for r in load(spark, sf_dir, "events")
+        .select(
+            F.floor(
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                ) / F.lit(7)
+            ).cast("bigint").alias("wk"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for wk, r in rows.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == weekly[wk]
+        if wk - 1 in weekly:
+            assert r.n_churned == weekly[wk - 1] - r.n_retained
+    first = rows[min(rows)]
+    assert first.n_retained == 0 and first.n_resurrected == 0
+
+
+def test_return_rate_wilson_brackets(spark, sf_dir):
+    """The Wilson interval brackets the rate per year; counts nest;
+    all years present."""
+    rows = _QUERIES["q_return_rate"](spark, sf_dir).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert 0 <= r.k <= r.n
+        assert 0 <= r.lo_ppm <= r.rate_ppm <= r.hi_ppm <= 1000000

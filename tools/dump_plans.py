@@ -123,6 +123,7 @@ SHOW = (
     "q_median_ci", "q_ece", "q_simpson_check",
     "q_lognormal_fit", "q_smape_eval", "q_diurnal_profile",
     "q_js_divergence", "q_rank_churn", "q_best_f1",
+    "q_boxplot_stats", "q_growth_accounting", "q_return_rate",
 )
 
 

@@ -140,6 +140,8 @@ SHOW = (
     "q_lognormal_fit", "q_smape_eval", "q_diurnal_profile",
     # round-5 wave 76: JS divergence, rank churn, best F1
     "q_js_divergence", "q_rank_churn", "q_best_f1",
+    # round-5 wave 77: boxplot stats, growth accounting, return rate
+    "q_boxplot_stats", "q_growth_accounting", "q_return_rate",
 )
 
 
