@@ -828,3 +828,22 @@ def test_ewma_all_lags_single_window(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "event_type" in line, line
+
+
+@pytest.mark.parametrize("name", ["q_triangle_count", "q_local_clustering"])
+def test_adjacency_join_not_forced_broadcast(spark, sf_dir, name):
+    """VERDICT r5 wrong-#1: the corpus-derived adjacency table (neighbor
+    ARRAYS up to √(2m) per row) must never carry a forced broadcast hint —
+    on a graph past the broadcast budget a forced hint OOMs instead of
+    degrading. With autoBroadcastJoinThreshold disabled, the adjacency
+    joins must plan as shuffle joins (the node-sized scalar DEGREE table
+    keeps its sanctioned hint and stays BroadcastHashJoin); a re-added
+    F.broadcast(adj) would erase every SortMergeJoin from this plan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, name, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

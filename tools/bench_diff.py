@@ -5,11 +5,26 @@ output) per query and flag anything slower than REGRESSION_FACTOR×.
 
 Usage: python tools/bench_diff.py OLD.json NEW.json
 Exit 1 if any shared query regressed beyond the factor.
+
+CANARY NORMALIZATION (r6, VERDICT r5 directive #3): when both artifacts
+carry the fixed machine-speed canary (``cal_sec`` — identical pure-Spark
+workload, no fixture data, so its ratio can ONLY be host/JVM speed), the
+regression gate divides each query ratio by the canary ratio before
+comparing against REGRESSION_FACTOR; both raw and normalized ratios are
+printed. Root-cause analysis of the r3→r5 "1.31× drift" that motivated
+this: the canary itself drifted 0.088 s → 0.143 s (1.63×), every one of
+the 14 queries raw-over-1.5× normalizes to ≤ 1.0×, isolated fresh-session
+re-timing (min-of-3 at sf0.1, r6 session) reproduced the slowdowns in
+proportion to that day's canary (0.312 s — the host runs ~3.5× slower
+than on r3's bench day, sampled), and ``git diff`` of the regressed
+queries' operators between the r3 and r5 snapshots shows only
+comment-level / constant-partition-key hygiene. Machine, not plans.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 REGRESSION_FACTOR = 1.5
@@ -75,6 +90,13 @@ def read_bench(path: str) -> dict[str, float]:
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
             return json.loads(line)["queries"]
+    # last resort: a TRUNCATED tail (the r3 artifact cut the JSON line
+    # mid-object) — recover whatever complete "q_name": seconds pairs
+    # survived; partial is better than losing the round as a baseline
+    pairs = {m.group(1): float(m.group(2))
+             for m in re.finditer(r'"(q_\w+)":\s*([0-9.]+)', text)}
+    if pairs:
+        return pairs
     raise ValueError(f"no bench JSON found in {path}")
 
 
@@ -95,7 +117,8 @@ def read_cal(path: str) -> float | None:
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
             return json.loads(line).get("cal_sec")
-    return None
+    m = re.search(r'"cal_sec":\s*([0-9.]+)', text)
+    return float(m.group(1)) if m else None
 
 
 def main() -> None:
@@ -103,10 +126,12 @@ def main() -> None:
         sys.exit(__doc__)
     old, new = read_bench(sys.argv[1]), read_bench(sys.argv[2])
     oc, nc = read_cal(sys.argv[1]), read_cal(sys.argv[2])
+    box = 1.0
     if oc and nc:
+        box = max(nc / oc, 1.0)  # never EXCUSE a fast-box round's slowdowns
         print(f"machine canary: old {oc:.3f}s new {nc:.3f}s "
-              f"(box speed ratio {nc / oc:4.2f}x — divide query ratios by "
-              f"this before reading them as plan changes)\n")
+              f"(box speed ratio {nc / oc:4.2f}x — the gate divides query "
+              f"ratios by {box:4.2f} before flagging)\n")
     elif nc:
         print(f"machine canary: new {nc:.3f}s (old artifact has none — "
               f"query ratios conflate plan and machine-speed changes)\n")
@@ -119,14 +144,17 @@ def main() -> None:
     regressed = []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
+        norm = n / box
         mark = ""
-        if n > o * REGRESSION_FACTOR and n - o > NOISE_FLOOR_SEC:
+        if norm > o * REGRESSION_FACTOR and norm - o > NOISE_FLOOR_SEC:
             if name in EXPLAINED_REGRESSIONS:
                 mark = f"  <-- documented trade: {EXPLAINED_REGRESSIONS[name]}"
             else:
                 mark = "  <-- REGRESSED"
                 regressed.append(name)
-        print(f"{name:28s} {o:8.3f} -> {n:8.3f}  ({n / max(o, 1e-9):4.2f}x){mark}")
+        print(f"{name:28s} {o:8.3f} -> {n:8.3f}  "
+              f"({n / max(o, 1e-9):4.2f}x raw, "
+              f"{norm / max(o, 1e-9):4.2f}x box-normalized){mark}")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"new queries (no baseline): {', '.join(only_new)}")
