@@ -50,7 +50,7 @@ WITH per_cust AS (
          CASE WHEN count(CASE WHEN o.o_orderpriority = '1-URGENT'
                               THEN 1 END) >= {_WCI_URGENT_MIN}
               THEN 1 ELSE 0 END AS hit
-  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY c.c_custkey, c.c_mktsegment
 ),
 g AS (
@@ -82,6 +82,10 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers with ≥{m} urgent order(s): point rate plus the
     score-interval bounds (all ppm) — the binomial CI that stays
     inside [0,1] and behaves at small n, unlike Wald's p̂ ± z·se.
+    The denominator n is ALL customers in the segment — the left join
+    counts a customer with no orders as a non-hit rather than dropping
+    it (ADVICE r5: the earlier inner join silently shrank n to
+    ordering customers only).
 
     Scale shape: one orders pass to the customer grain, one 5-row
     (n, k) aggregate per segment, closed-form interval arithmetic on
@@ -91,6 +95,7 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             load(spark, sf_dir, "orders"),
             F.col("o_custkey") == F.col("c_custkey"),
+            "left",
         )
         .groupBy("c_custkey", "c_mktsegment")
         .agg(

@@ -3,7 +3,7 @@ tail-index estimation, Gumbel block-maxima fitting, and the odds
 ratio / relative risk with Woolf intervals.
 
 ``q_hill_tail`` — the Hill estimator of the token-frequency tail index
-over the top-k most frequent tokens: α̂ = k / Σ ln(f_i / f_(k)) — the
+over the top-k most frequent tokens: α̂ = (k−1) / Σ ln(f_i / f_(k)) — the
 quantitative heaviness of the Zipf tail that ``q_zipf_audit`` plots in
 octaves, and the number a vocabulary-truncation decision actually
 needs.
@@ -61,7 +61,7 @@ kth AS (
 )
 SELECT CAST({_HILL_K} AS BIGINT) AS k,
        CAST(max(kth.f_k) AS BIGINT) AS f_k,
-       CAST(floor({_HILL_K} * 1000000.0
+       CAST(floor(({_HILL_K} - 1) * 1000000.0
                   / sum(ln(CAST(t.f AS DOUBLE) / kth.f_k)) + 0.5)
             AS BIGINT) AS hill_alpha_micro
 FROM topk t, kth
@@ -69,10 +69,13 @@ WHERE t.rnk < {_HILL_K}
 """)
 def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index of the token-frequency distribution over the
-    top-{k} tokens: α̂ = (k) / Σ_{{i<k}} ln(f_i / f_(k)) (micro-
+    top-{k} tokens: α̂ = (k−1) / Σ_{{i<k}} ln(f_i / f_(k)) (micro-
     quantized; ties in frequency pinned by token text) — small α̂ =
     heavy Zipf tail, the number that prices how much mass a truncated
-    vocabulary abandons.
+    vocabulary abandons. The divisor is the NUMBER OF LOG TERMS (k−1
+    excesses over the threshold order statistic f_(k)), the standard
+    conditional-MLE normalization (ADVICE r5: the earlier k/Σ form
+    biased α̂ high by k/(k−1)).
 
     Scale shape: one tokenize pass to the token-frequency table (the
     aggregate every corpus job shares), a global top-{k} via
@@ -109,7 +112,7 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HILL_K).cast("bigint").alias("k"),
             F.max("f_k").cast("bigint").alias("f_k"),
             F.floor(
-                F.lit(_HILL_K * 1000000.0)
+                F.lit((_HILL_K - 1) * 1000000.0)
                 / F.sum(F.log(F.col("f").cast("double") / F.col("f_k")))
                 + F.lit(0.5)
             ).cast("bigint").alias("hill_alpha_micro"),
