@@ -197,6 +197,12 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by. Degree join broadcasts the node-sized table; top-K is
     TakeOrderedAndProject."""
     e = _part_edges(spark, sf_dir)
+    # NOTHING persisted (r6 re-measurement, clearCache protocol, 3 reps):
+    # all the multi-consumer subtrees (edges, degrees, orientation) are
+    # deduplicated by ReusedExchange, so persists only add blocking
+    # materializations — no-persist 5.16 s vs o-persisted 5.71 s
+    # min-of-3 at sf0.1 (was 9.0 s in r5 with the forced broadcast +
+    # 3-branch union)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -218,7 +224,7 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).persist()
+    )
     # no broadcast hint: neighbor-array rows outgrow any broadcast budget
     # on a big graph — AQE broadcasts while adj is under the threshold
     # and falls back to the edge-sized shuffle join above it (the degree-

@@ -166,10 +166,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     — on a graph too big for that it shuffle-joins by node key, still
     edge-sized, never wedge-sized. Output is ONE row of five BIGINTs
     (the ppm is the only float, quantized once)."""
-    # NOT persisted: e is read by two downstream branches, but its
-    # recompute (one AQE-pipelined shuffle read) is cheaper than the
-    # blocking materialization + cache write a persist costs here —
-    # measured 5.1 s → 2.9 s steady-state at sf0.1 by dropping it.
+    # NOTHING persisted (r6 re-measurement, clearCache protocol, 3 reps):
+    # ReusedExchange already shares the edge/degree/orientation subtrees
+    # across the census branches (identical canonical plans), so a
+    # persist only adds a blocking materialization + cache write —
+    # no-persist 3.45 s vs o-persisted 4.27 s min-of-3 at sf0.1.
     e = _part_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("node"))
@@ -193,12 +194,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # o feeds both the adjacency build and the probe side — persist so
-    # the degree-broadcast orientation runs once, not twice.
+    # o feeds both the adjacency build and the probe side; the shared
+    # shuffle is deduplicated by ReusedExchange, so no persist (see the
+    # measurement note above).
     o = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).persist()
+    )
     # NO broadcast hint on the adjacency: its rows carry neighbor ARRAYS
     # up to √(2m) long, so unlike the scalar degree table it outgrows any
     # broadcast budget on a large graph. AQE picks broadcast at runtime
