@@ -19,6 +19,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+#: name -> (defining module, definition sequence within that module);
+#: basis for :func:`canonical_order`, which must not depend on IMPORT
+#: order (a test importing one operator module before collect() would
+#: otherwise reshuffle the dict-insertion order the driver sees)
+_ORIGIN: dict[str, tuple[str, int]] = {}
+
 #: modules that register queries on import
 _OPERATOR_MODULES = (
     "spark_ml_spark.operators.relational",
@@ -84,10 +90,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
+        mod = fn.__module__
+        seq = sum(1 for m, _ in _ORIGIN.values() if m == mod)
+        _ORIGIN[name] = (mod, seq)
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
     return deco
+
+
+def canonical_order() -> list[str]:
+    """Registration order as a STABLE total order: module rank in
+    :data:`_OPERATOR_MODULES` first, then definition order within the
+    module — identical no matter which module a caller happened to
+    import first. This is the order the graded-window rotation walks."""
+    rank = {m: i for i, m in enumerate(_OPERATOR_MODULES)}
+    return sorted(
+        QUERIES,
+        key=lambda n: (
+            rank.get(_ORIGIN[n][0], len(rank)),
+            _ORIGIN[n][1],
+        ),
+    )
 
 
 #: The driver grades only the FIRST 50 entries of ``queries()`` in dict
@@ -111,7 +135,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ``registered − union(CORRECTNESS_r0*.json keys)``; never trust a
 #: hand-carried estimate). Zero continuity anchors while backlog > 50.
 _GRADED_WINDOW = (
-    # --- r3 waves 4-6: layout diagnostics / window stats / OLS ---
+    # first 50 of the never-graded backlog in canonical_order()
+    # (module rank, then definition order) — set identical to the
+    # pre-audited r6 selection; see the r6 WINDOW note above
     "q_attribution",
     "q_concurrency",
     "q_skipping_report",
@@ -120,21 +146,12 @@ _GRADED_WINDOW = (
     "q_grouped_ols",
     "q_auc",
     "q_spearman",
-    # --- r3 waves 7-9: dedup depth / retrieval eval / streaming ---
     "q_snapshot_dedup",
     "q_set_similarity_join",
     "q_mrl_recall",
     "q_stream_session_window",
-    # --- r3 wave 10: mergeable sketches ---
-    "q_kmv_distinct",
-    "q_countmin_heavy",
-    "q_join_size_estimate",
-    "q_hll_distinct",
-    "q_quantile_sketch",
-    "q_kmv_jaccard",
     "q_stream_hll",
     "q_budget_allocate",
-    # --- r3 waves 11-13: robustness / privacy / curation ---
     "q_winsorize",
     "q_bloom_decontaminate",
     "q_reservoir_sample",
@@ -152,12 +169,10 @@ _GRADED_WINDOW = (
     "q_weighted_sample",
     "q_embedding_drift",
     "q_systematic_sample",
-    # --- r3 waves 14-15: graph / event sequence ---
     "q_pagerank",
     "q_transition_matrix",
     "q_event_pmi",
     "q_path_topk",
-    # --- r3 waves 16-18: diagnostics / drift / data quality ---
     "q_skew_profile",
     "q_anomaly_detect",
     "q_association_audit",
@@ -166,6 +181,12 @@ _GRADED_WINDOW = (
     "q_dq_report",
     "q_benford_audit",
     "q_ewma_forecast",
+    "q_kmv_distinct",
+    "q_countmin_heavy",
+    "q_join_size_estimate",
+    "q_hll_distinct",
+    "q_quantile_sketch",
+    "q_kmv_jaccard",
     "q_cross_correlation",
 )
 
@@ -181,7 +202,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if missing:
         raise ValueError(f"_GRADED_WINDOW names not registered: {missing}")
     ordered = list(_GRADED_WINDOW) + [
-        n for n in QUERIES if n not in set(_GRADED_WINDOW)
+        n for n in canonical_order() if n not in set(_GRADED_WINDOW)
     ]
     q = {n: QUERIES[n] for n in ordered}
     o = {n: ORACLE[n] for n in ordered if n in ORACLE}

@@ -27,7 +27,11 @@ def _never_graded() -> list[str]:
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
         graded |= set(json.load(open(path)).keys())
     registry.collect()
-    return [n for n in registry.QUERIES if n not in graded]
+    # canonical_order, NOT dict order: a sibling test importing one
+    # operator module before collect() reshuffles QUERIES' insertion
+    # order, but the rotation's notion of "registration order" must be
+    # stable regardless of who imported what first
+    return [n for n in registry.canonical_order() if n not in graded]
 
 
 def test_window_is_first_50_of_never_graded_backlog():
