@@ -125,11 +125,15 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-            F.round(F.percentile("delta_sec", F.lit(0.5)), 4).alias("p50_sec"),
-            F.round(F.percentile("delta_sec", F.lit(0.9)), 4).alias("p90_sec"),
+            # one array percentile = one value buffer (q_percentiles, r6)
+            F.expr("percentile(delta_sec, array(0.5D, 0.9D))").alias("ps"),
         )
         .crossJoin(F.broadcast(n_users))
-        .select("n_users", "n_converted", "p50_sec", "p90_sec")
+        .select(
+            "n_users", "n_converted",
+            F.round(F.col("ps")[0], 4).alias("p50_sec"),
+            F.round(F.col("ps")[1], 4).alias("p90_sec"),
+        )
     )
 
 

@@ -83,11 +83,17 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("pc"),
         )
     )
+    # one array-argument percentile, not three scalar ones: each scalar
+    # Percentile aggregate buffers the full per-group multiset
+    # independently (same fusion as q_percentiles, r6)
     q = x.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.expr("percentile(pc, 0.25)").alias("q1"),
-        F.expr("percentile(pc, 0.5)").alias("med"),
-        F.expr("percentile(pc, 0.75)").alias("q3"),
+        F.expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+    ).select(
+        "seg", "n",
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("med"),
+        F.col("qs")[2].alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     out = (
