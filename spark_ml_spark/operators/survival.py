@@ -166,10 +166,16 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.where(F.col("prev_day").isNotNull()).select(
         F.datediff("day", "prev_day").cast("bigint").alias("gap")
     )
+    # one array percentile = one value buffer, not four (q_percentiles, r6)
     return g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
-        F.round(F.percentile("gap", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("gap", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("gap", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.percentile("gap", F.lit(0.90)), 4).alias("p90"),
+        F.expr(
+            "percentile(gap, array(0.25D, 0.5D, 0.75D, 0.9D))"
+        ).alias("ps"),
+    ).select(
+        "n_gaps",
+        F.round(F.col("ps")[0], 4).alias("p25"),
+        F.round(F.col("ps")[1], 4).alias("p50"),
+        F.round(F.col("ps")[2], 4).alias("p75"),
+        F.round(F.col("ps")[3], 4).alias("p90"),
     )
