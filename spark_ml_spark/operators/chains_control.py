@@ -206,11 +206,15 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     wp = W.partitionBy("src")
-    p = edge.select(
+    # broadcast is safe here, unlike the graph adjacency case: p is
+    # bounded by the EVENT-TYPE VOCABULARY (≤ k² rows, k = distinct
+    # event types), not by the corpus — the hint pins all 12 iterate
+    # joins to one reused broadcast exchange
+    p = F.broadcast(edge.select(
         "src",
         "dst",
         (F.col("n") * F.lit(1.0) / F.sum("n").over(wp)).alias("prob"),
-    )
+    ))
     pi = spark.createDataFrame(
         [(s, 10**9 // len(_MK_STATES)) for s in _MK_STATES],
         "state string, w_nano bigint",
