@@ -275,10 +275,13 @@ def test_custom_udaf_is_arrow_not_pickle(spark, sf_dir):
 def test_no_unbounded_nested_loop_join_anywhere(spark, sf_dir):
     """Repo-wide plan hygiene (generalizes VERDICT r1 wrong-#2): across
     EVERY oracle-checked batch query, (a) no CartesianProduct node at
-    all, and (b) every BroadcastNestedLoopJoin must broadcast a
+    all, (b) every BroadcastNestedLoopJoin must broadcast a
     provably-tiny side — an ungrouped aggregate (keys=[] ⇒ ≤1 row) or a
     literal LocalTableScan — i.e. the crossJoin(broadcast(corpus-total))
-    idiom, never a data-sized relation."""
+    idiom, never a data-sized relation, and (c) no BatchEvalPython
+    (pickled row-at-a-time UDF) anywhere: the repo's only sanctioned
+    Python surfaces are Arrow-vectorized (ArrowEvalPython /
+    ArrowAggregatePython / mapInPandas), which plan as different nodes."""
     from spark_ml_spark.registry import collect
 
     queries, oracle = collect()
@@ -290,6 +293,8 @@ def test_no_unbounded_nested_loop_join_anywhere(spark, sf_dir):
             .executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython row UDF"))
         lines = plan.splitlines()
         # a BNLJ's build side is a BroadcastExchange with
         # IdentityBroadcastMode (hash joins use HashedRelationBroadcastMode),
