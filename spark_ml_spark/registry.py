@@ -105,89 +105,92 @@ def canonical_order() -> list[str]:
     module — identical no matter which module a caller happened to
     import first. This is the order the graded-window rotation walks."""
     rank = {m: i for i, m in enumerate(_OPERATOR_MODULES)}
+    # tie-break on module name: two modules absent from _OPERATOR_MODULES
+    # would otherwise share rank len(rank) with colliding per-module seq
+    # numbers and fall back to the import-order instability this function
+    # exists to prevent
     return sorted(
         QUERIES,
         key=lambda n: (
             rank.get(_ORIGIN[n][0], len(rank)),
+            _ORIGIN[n][0],
             _ORIGIN[n][1],
         ),
     )
 
 
 #: The driver grades only the FIRST 50 entries of ``queries()`` in dict
-#: order (observed empirically: CORRECTNESS_r0{1,2,3,5}.json each hold
+#: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r6 WINDOW (registration freeze round): the round-5 judge measured the
-#: never-graded backlog programmatically at **157** =
-#: ``registered (349) − union(CORRECTNESS_r0{1,2,3,5}.json keys) (192)``
-#: — NOT the ~114 the r5 note estimated, because the lost r4 window
-#: (44 r3-wave queries + 6 anchors) was never graded at all. Per the r6
-#: directive: no new queries are registered this round, and this window
-#: holds the FIRST 50 of the 157 in registration order — the oldest debt
-#: first (r3 waves 4-18: layout/diagnostics, sketches, selection/curation,
-#: graph, drift, plus the early r4/r5 stragglers interleaved by module
-#: import order). Pre-audited with ``tools/driver_check.py`` strict mode
-#: at sf0.01, the same process that made r5 grade 50/50.
+#: r7 WINDOW (registration freeze, round 2 of 3): CORRECTNESS_r06.json
+#: landed 50/50 green, so the never-graded backlog is now **107** =
+#: ``registered (349) − union(CORRECTNESS_r*.json keys) (242)`` —
+#: always recomputed programmatically (``tests/test_registry_window.py``
+#: enforces this; never trust a hand-carried estimate), and the glob is
+#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting. This
+#: window holds the FIRST 50 of the 107 in canonical order — the r4-tail
+#: customer-analytics/behavior/warehouse wave plus the r5 fuzzy/merge/
+#: robuststats/graph-linkpred/mlextra/sqlsurface stragglers. Pre-audited
+#: with ``tools/driver_check.py`` strict mode at sf0.01, the protocol
+#: that produced two consecutive 50/50 rounds.
 #:
-#: Never-graded after a clean r6 = 107; r7 and r8 windows continue down
-#: the same programmatically-computed list (always recompute as
-#: ``registered − union(CORRECTNESS_r0*.json keys)``; never trust a
-#: hand-carried estimate). Zero continuity anchors while backlog > 50.
+#: Never-graded after a clean r7 = 57; the r8 window continues down the
+#: same list (57 → 7), and r9 retires the final 7 plus 43 continuity
+#: anchors. Zero continuity anchors while backlog > 50.
 _GRADED_WINDOW = (
     # first 50 of the never-graded backlog in canonical_order()
-    # (module rank, then definition order) — set identical to the
-    # pre-audited r6 selection; see the r6 WINDOW note above
-    "q_attribution",
-    "q_concurrency",
-    "q_skipping_report",
-    "q_window_distribution",
-    "q_histogram_2d",
-    "q_grouped_ols",
-    "q_auc",
-    "q_spearman",
-    "q_snapshot_dedup",
-    "q_set_similarity_join",
-    "q_mrl_recall",
-    "q_stream_session_window",
-    "q_stream_hll",
-    "q_budget_allocate",
-    "q_winsorize",
-    "q_bloom_decontaminate",
-    "q_reservoir_sample",
-    "q_k_anonymity",
-    "q_bpe_merge_step",
-    "q_t_closeness",
-    "q_dsir_select",
-    "q_canonical_docs",
-    "q_domain_split",
-    "q_length_batching",
-    "q_hard_negatives",
-    "q_drift_diff",
-    "q_quantile_normalize",
-    "q_bm25_rank",
-    "q_weighted_sample",
-    "q_embedding_drift",
-    "q_systematic_sample",
-    "q_pagerank",
-    "q_transition_matrix",
-    "q_event_pmi",
-    "q_path_topk",
-    "q_skew_profile",
-    "q_anomaly_detect",
-    "q_association_audit",
-    "q_ks_drift",
-    "q_psi_drift",
-    "q_dq_report",
-    "q_benford_audit",
-    "q_ewma_forecast",
-    "q_kmv_distinct",
-    "q_countmin_heavy",
-    "q_join_size_estimate",
-    "q_hll_distinct",
-    "q_quantile_sketch",
-    "q_kmv_jaccard",
-    "q_cross_correlation",
+    # (module rank, then definition order); see the r7 WINDOW note above
+    "q_triangle_count",
+    "q_butterfly_count",
+    "q_rfm_segments",
+    "q_string_agg",
+    "q_knn_classify",
+    "q_segment_migration",
+    "q_new_vs_repeat",
+    "q_value_deciles",
+    "q_cohort_ltv",
+    "q_event_trigrams",
+    "q_time_to_convert",
+    "q_negative_sample",
+    "q_user_entropy",
+    "q_weighted_median",
+    "q_share_of_total",
+    "q_impute_mean",
+    "q_revenue_bridge",
+    "q_abc_classification",
+    "q_hhi_concentration",
+    "q_backlog_aging",
+    "q_skyline",
+    "q_srm_check",
+    "q_csv_malformed",
+    "q_table_checksum",
+    "q_mutual_info",
+    "q_duplicate_payments",
+    "q_auc_by_slice",
+    "q_disparate_impact",
+    "q_power_analysis",
+    "q_survival_km",
+    "q_interarrival",
+    "q_edit_distance_join",
+    "q_mode_stat",
+    "q_merge_upsert",
+    "q_cdc_apply",
+    "q_theilsen_slope",
+    "q_kruskal_wallis",
+    "q_poisson_bootstrap",
+    "q_huber_mean",
+    "q_link_prediction",
+    "q_local_clustering",
+    "q_decision_stump",
+    "q_ridge_path",
+    "q_kfold_cv",
+    "q_sql_pivot",
+    "q_sql_lateral_explode",
+    "q_sql_groupby_all",
+    "q_conformal_interval",
+    "q_lift_curve",
+    "q_mcnemar",
 )
 
 

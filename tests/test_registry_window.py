@@ -24,7 +24,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _never_graded() -> list[str]:
     graded: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    # CORRECTNESS_r*.json, not r0*: double-digit rounds (r10+) must count
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         graded |= set(json.load(open(path)).keys())
     registry.collect()
     # canonical_order, NOT dict order: a sibling test importing one

@@ -92,9 +92,12 @@ def read_bench(path: str) -> dict[str, float]:
             return json.loads(line)["queries"]
     # last resort: a TRUNCATED tail (the r3 artifact cut the JSON line
     # mid-object) — recover whatever complete "q_name": seconds pairs
-    # survived; partial is better than losing the round as a baseline
+    # survived; partial is better than losing the round as a baseline.
+    # Each number must be FOLLOWED by ',' or '}' — a value cut mid-digit
+    # ('12.34' truncated to '12.' or '1') would otherwise be silently
+    # recovered as a wrong baseline timing (ADVICE r6).
     pairs = {m.group(1): float(m.group(2))
-             for m in re.finditer(r'"(q_\w+)":\s*([0-9.]+)', text)}
+             for m in re.finditer(r'"(q_\w+)":\s*([0-9.]+)\s*[,}]', text)}
     if pairs:
         return pairs
     raise ValueError(f"no bench JSON found in {path}")
