@@ -1,6 +1,6 @@
 SHELL := /bin/bash
 
-.PHONY: test check check-small bench plans scaling all
+.PHONY: test check check-small bench isolate plans scaling all
 
 test:            ## full pytest suite (oracle-differential, plans, API, parity, streaming, properties)
 	python -m pytest tests/ -q
@@ -20,6 +20,9 @@ ifneq ($(BASELINE_BENCH),)
 else
 	@echo "no BENCH_r*.json baseline — skipping regression diff"
 endif
+
+isolate:         ## isolated re-timing: make isolate Q="q_x q_y" (fresh JVM per query, min-of-3)
+	python tools/bench_isolate.py $(Q)
 
 plans:           ## regenerate PLANS.md plan-evidence artifact
 	python tools/dump_plans.py

