@@ -48,6 +48,17 @@ def get_spark(app_name: str = "spark_ml_spark", cpus: str | int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Long shared sessions (the 332-query bench, the 349-query driver
+        # mirror, a real long-running cluster driver) accumulate
+        # weakly-referenced broadcast/shuffle/RDD state that the
+        # ContextCleaner only reclaims when a GC actually runs — and with
+        # a 16g mostly-idle heap, full GCs almost never fire on their
+        # own (default periodicGC is 30min, longer than a whole bench
+        # session). Measured r7: a fixed canary workload degraded
+        # 2.75s -> 3.79s over 320 queries in one session and one
+        # System.gc() restored it to 2.69s. 2min keeps sessions
+        # self-healing; single-query sessions never notice it.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
