@@ -506,6 +506,28 @@ def _canary(spark) -> float:
     return time.perf_counter() - t0
 
 
+def warm_dir_for(sf_dir: str) -> str:
+    """The smallest sibling fixture for one-time JVM/codegen warm-up —
+    THE measurement-protocol constant shared with tools/bench_isolate.py
+    (isolated numbers are only comparable to BENCH_DETAIL numbers if
+    both warm the same way)."""
+    warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    return warm if os.path.isdir(warm) else sf_dir
+
+
+def time_query_once(spark, fn, sf_dir: str) -> float:
+    """One timed noop-forced execution + cache drop — the per-rep
+    measurement step, shared with tools/bench_isolate.py so the shared-
+    session and isolated protocols cannot drift apart."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    elapsed = round(time.perf_counter() - t0, 3)
+    # queries that persist() intermediates leave them resident after the
+    # plan finishes; drop them so one query's storage doesn't tax the next
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -527,9 +549,7 @@ def main() -> None:
     # ~6 s cold vs ~4 s warm) that amortizes to zero over a 100 TB run, so
     # steady-state is the honest throughput number.  Falls back to the
     # target dir if no sibling sf0.001 exists.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    warm_dir = warm_dir_for(sf_dir)
     for name in HEADLINE:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
@@ -545,15 +565,8 @@ def main() -> None:
     cal_mid = 0.0
     for _pass in range(2):
         for name in HEADLINE:
-            fn = queries[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
+            elapsed = time_query_once(spark, queries[name], sf_dir)
             timings[name] = min(timings.get(name, elapsed), elapsed)
-            # queries that persist() intermediates leave them resident after
-            # the plan finishes; drop them so one query's storage doesn't
-            # tax the next
-            spark.catalog.clearCache()
         if _pass == 0:
             cal_mid = round(_canary(spark), 3)
             # reset GC-reclaimable session pressure before the pass whose
@@ -573,12 +586,9 @@ def main() -> None:
     # queries x ~5 s, bounded, vs a 3rd full pass at ~380 s.
     _TAIL_SEC = 3.0
     for name in [n for n, t in timings.items() if t > _TAIL_SEC]:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        elapsed = round(time.perf_counter() - t0, 3)
-        timings[name] = min(timings[name], elapsed)
-        spark.catalog.clearCache()
+        timings[name] = min(
+            timings[name], time_query_once(spark, queries[name], sf_dir)
+        )
 
     cal_end = round(_canary(spark), 3)
     cal = sorted((cal_start, cal_mid, cal_end))
@@ -605,8 +615,11 @@ def main() -> None:
         "cal_end": cal_end,
         # in-session drift: how much slower the SAME fixed workload got
         # as plans accumulated in the shared JVM — the quantity the r6
-        # common-set-drift debate needed measured, not conjectured
-        "cal_spread": round(cal[2] / cal[0], 3) if cal[0] else None,
+        # common-set-drift debate needed measured, not conjectured.
+        # Literally end/start (direction-preserving: <1 means the session
+        # got FASTER; a single mid-session GC pause doesn't register —
+        # unlike a max/min ratio, which would mislabel it as drift)
+        "cal_spread": round(cal_end / cal_start, 3) if cal_start else None,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -620,7 +633,7 @@ def main() -> None:
         "sf": sf,
         "cal_sec": cal[1],
         "cal_protocol": 2,
-        "cal_spread": round(cal[2] / cal[0], 3) if cal[0] else None,
+        "cal_spread": round(cal_end / cal_start, 3) if cal_start else None,
         "detail": "BENCH_DETAIL.json",
     })
     assert len(line) < 1500, f"bench line too long for driver capture: {len(line)}"

@@ -111,7 +111,12 @@ def read_bench(path: str) -> dict[str, float]:
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)["queries"]
+            # a line cut mid-object raises here; fall through to the
+            # regex recovery below instead of dying on the line scan
+            try:
+                return json.loads(line)["queries"]
+            except json.JSONDecodeError:
+                break
     # last resort: a TRUNCATED tail (the r3 artifact cut the JSON line
     # mid-object) — recover whatever complete "q_name": seconds pairs
     # survived; partial is better than losing the round as a baseline.
@@ -147,8 +152,11 @@ def read_cal(path: str) -> tuple[float | None, int]:
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            d = json.loads(line)
-            return d.get("cal_sec"), d.get("cal_protocol", 1)
+            try:
+                d = json.loads(line)
+                return d.get("cal_sec"), d.get("cal_protocol", 1)
+            except json.JSONDecodeError:
+                break  # truncated line — try the regex recovery
     m = re.search(r'"cal_sec":\s*([0-9.]+)\s*[,}]', text)
     mp = re.search(r'"cal_protocol":\s*(\d+)\s*[,}]', text)
     return (float(m.group(1)) if m else None), (int(mp.group(1)) if mp else 1)

@@ -27,7 +27,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -36,24 +35,21 @@ RUNS = 3
 
 
 def _time_one(name: str, sf_dir: str) -> dict:
+    # warm-up and per-rep measurement are IMPORTED from bench.py, not
+    # re-implemented: isolated numbers are only comparable to
+    # BENCH_DETAIL numbers if both protocols are the same code
+    from bench import time_query_once, warm_dir_for
     from spark_ml_spark.registry import collect
     from spark_ml_spark.session import get_spark
 
     queries, _ = collect()
     spark = get_spark("bench_isolate")
     fn = queries[name]
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
     # pay JVM class-loading + codegen once, same as bench.py's protocol
-    fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    fn(spark, warm_dir_for(sf_dir)).write.format("noop").mode(
+        "overwrite").save()
     spark.catalog.clearCache()
-    runs = []
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs.append(round(time.perf_counter() - t0, 3))
-        spark.catalog.clearCache()
+    runs = [time_query_once(spark, fn, sf_dir) for _ in range(RUNS)]
     spark.stop()
     return {"query": name, "sf_dir": sf_dir, "runs": runs, "min": min(runs)}
 
@@ -69,7 +65,7 @@ def main() -> None:
         return
     if not argv:
         sys.exit(__doc__)
-    results = []
+    results, failed = [], []
     for name in argv:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -79,7 +75,12 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{") and '"query"' in ln]
         if not line:
-            print(f"FAIL {name}: {out.stderr.strip().splitlines()[-1:] }")
+            err = out.stderr.strip().splitlines()
+            # a killed child (OOM, signal) can have empty stderr — the
+            # exit code is then the only diagnostic worth printing
+            print(f"FAIL {name}: "
+                  f"{err[-1] if err else f'child exit {out.returncode}'}")
+            failed.append(name)
             continue
         rec = json.loads(line[-1])
         results.append(rec)
@@ -90,6 +91,9 @@ def main() -> None:
             "protocol": f"fresh session per query, min-of-{RUNS}, "
                         f"sf0.001 warm-up",
         }))
+    # a failed query must fail the invocation: scripted callers (make
+    # isolate, CI) otherwise read "no timing data" as success
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
