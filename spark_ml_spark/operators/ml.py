@@ -186,12 +186,22 @@ def q_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_random_split")  # rows-only: Bernoulli sampling is engine-specific
 def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: seeded 70/30 random split; returns per-split row counts
-    (reference: ``Data_transform.py:155-157``)."""
+    (reference: ``Data_transform.py:155-157``).
+
+    ONE pass, not two: ``randomSplit`` + two ``.count()`` calls traverse
+    the whole feature-table plan (join + pivot hash-agg) once per split
+    — 3.5 s at sf0.1, all of it duplicated work. The same seeded
+    Bernoulli semantics expressed as a split-label column + group-by
+    runs the plan once and combines map-side (r8; was the slowest
+    non-iterative query in BENCH_DETAIL). At 100 TB the two-traversal
+    shape doubles the dominant cost for no information gain."""
     ft = build_feature_table(spark, sf_dir)
-    train, test = ft.randomSplit([0.7, 0.3], seed=SEED)
-    return spark.createDataFrame(
-        [("train", train.count()), ("test", test.count())],
-        "split string, n_rows long",
+    split = F.when(F.rand(SEED) < 0.7, F.lit("train")).otherwise("test")
+    return (
+        ft.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy(F.desc("split"))  # train first, matching the old output
     )
 
 

@@ -123,74 +123,74 @@ def canonical_order() -> list[str]:
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r7 WINDOW (registration freeze, round 2 of 3): CORRECTNESS_r06.json
-#: landed 50/50 green, so the never-graded backlog is now **107** =
-#: ``registered (349) − union(CORRECTNESS_r*.json keys) (242)`` —
+#: r8 WINDOW (registration freeze, round 3 of 3): CORRECTNESS_r07.json
+#: landed 50/50 green, so the never-graded backlog is now **57** =
+#: ``registered (349) − union(CORRECTNESS_r*.json keys) (292)`` —
 #: always recomputed programmatically (``tests/test_registry_window.py``
 #: enforces this; never trust a hand-carried estimate), and the glob is
 #: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting. This
-#: window holds the FIRST 50 of the 107 in canonical order — the r4-tail
-#: customer-analytics/behavior/warehouse wave plus the r5 fuzzy/merge/
-#: robuststats/graph-linkpred/mlextra/sqlsurface stragglers. Pre-audited
-#: with ``tools/driver_check.py`` strict mode at sf0.01, the protocol
-#: that produced two consecutive 50/50 rounds.
+#: window holds the FIRST 50 of the 57 in canonical order — the r5
+#: warehouse-depth/ML-extras wave plus the statistics/eval/timeseries
+#: stragglers. Pre-audited with ``tools/driver_check.py`` strict mode at
+#: sf0.01, the protocol that produced three consecutive 50/50 rounds.
 #:
-#: Never-graded after a clean r7 = 57; the r8 window continues down the
-#: same list (57 → 7), and r9 retires the final 7 plus 43 continuity
-#: anchors. Zero continuity anchors while backlog > 50.
+#: Never-graded after a clean r8 = 7 (``q_diurnal_profile,
+#: q_js_divergence, q_rank_churn, q_best_f1, q_boxplot_stats,
+#: q_growth_accounting, q_return_rate``); the r9 window retires those 7
+#: plus 43 continuity anchors. Zero continuity anchors while backlog > 50.
 _GRADED_WINDOW = (
     # first 50 of the never-graded backlog in canonical_order()
-    # (module rank, then definition order); see the r7 WINDOW note above
-    "q_triangle_count",
-    "q_butterfly_count",
-    "q_rfm_segments",
-    "q_string_agg",
-    "q_knn_classify",
-    "q_segment_migration",
-    "q_new_vs_repeat",
-    "q_value_deciles",
-    "q_cohort_ltv",
-    "q_event_trigrams",
-    "q_time_to_convert",
-    "q_negative_sample",
-    "q_user_entropy",
-    "q_weighted_median",
-    "q_share_of_total",
-    "q_impute_mean",
-    "q_revenue_bridge",
-    "q_abc_classification",
-    "q_hhi_concentration",
-    "q_backlog_aging",
-    "q_skyline",
-    "q_srm_check",
-    "q_csv_malformed",
-    "q_table_checksum",
-    "q_mutual_info",
-    "q_duplicate_payments",
-    "q_auc_by_slice",
-    "q_disparate_impact",
-    "q_power_analysis",
-    "q_survival_km",
-    "q_interarrival",
-    "q_edit_distance_join",
-    "q_mode_stat",
-    "q_merge_upsert",
-    "q_cdc_apply",
-    "q_theilsen_slope",
-    "q_kruskal_wallis",
-    "q_poisson_bootstrap",
-    "q_huber_mean",
-    "q_link_prediction",
-    "q_local_clustering",
-    "q_decision_stump",
-    "q_ridge_path",
-    "q_kfold_cv",
-    "q_sql_pivot",
-    "q_sql_lateral_explode",
-    "q_sql_groupby_all",
-    "q_conformal_interval",
-    "q_lift_curve",
-    "q_mcnemar",
+    # (module rank, then definition order); see the r8 WINDOW note above
+    "q_semi_additive_agg",
+    "q_snowflake_join",
+    "q_permutation_test",
+    "q_als_recommend",
+    "q_fpgrowth_itemsets",
+    "q_feature_selection",
+    "q_bigram_lm",
+    "q_rake_keywords",
+    "q_compaction_plan",
+    "q_seasonal_decompose",
+    "q_pinball_eval",
+    "q_shapley_attribution",
+    "q_cohens_kappa",
+    "q_bh_fdr",
+    "q_ndcg_eval",
+    "q_friedman_test",
+    "q_record_linkage",
+    "q_nelson_aalen",
+    "q_cuped_adjust",
+    "q_stratified_ate",
+    "q_cochran_q",
+    "q_logrank_test",
+    "q_mann_kendall",
+    "q_capture_recapture",
+    "q_heaps_law",
+    "q_mrr_eval",
+    "q_ttr_profile",
+    "q_dp_counts",
+    "q_periodogram",
+    "q_logistic_gd_step",
+    "q_langid_confusion",
+    "q_cluster_purity",
+    "q_pr_curve",
+    "q_point_in_time_join",
+    "q_ess_weights",
+    "q_dkw_band",
+    "q_wilson_ci",
+    "q_markov_stationary",
+    "q_shewhart_chart",
+    "q_hill_tail",
+    "q_gumbel_maxima",
+    "q_odds_ratio",
+    "q_price_index",
+    "q_overdispersion",
+    "q_audience_overlap",
+    "q_median_ci",
+    "q_ece",
+    "q_simpson_check",
+    "q_lognormal_fit",
+    "q_smape_eval",
 )
 
 

@@ -73,6 +73,19 @@ def test_truncated_inside_wrapper_tail(tmp_path):
     assert read_bench(path) == {"q_a": 1.25}
 
 
+def test_later_complete_line_wins_over_regex_mix(tmp_path):
+    # ADVICE r7: bench printed twice — first line truncated, second
+    # complete. The scan must CONTINUE past the truncated line and parse
+    # the complete one, not bail to regex recovery (which would mix
+    # q_a=1.25 from the dead first line with the second line's pairs).
+    text = ('{"metric": "m", "queries": {"q_a": 1.25, "q_b": 3.\n'
+            '{"metric": "m", "queries": {"q_a": 9.0, "q_c": 2.0}, '
+            '"cal_sec": 3.2, "cal_protocol": 2}\n')
+    path = _write(tmp_path, "twice.json", text)
+    assert read_bench(path) == {"q_a": 9.0, "q_c": 2.0}
+    assert read_cal(path) == (3.2, 2)
+
+
 def test_no_bench_json_raises(tmp_path):
     path = _write(tmp_path, "junk.json", "no json here at all")
     with pytest.raises(ValueError):

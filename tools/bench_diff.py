@@ -111,12 +111,14 @@ def read_bench(path: str) -> dict[str, float]:
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            # a line cut mid-object raises here; fall through to the
-            # regex recovery below instead of dying on the line scan
+            # a line cut mid-object raises here; keep scanning — a LATER
+            # complete bench line (bench printed twice, first truncated)
+            # must win over the regex recovery, which would mix pairs
+            # from both lines (ADVICE r7)
             try:
                 return json.loads(line)["queries"]
             except json.JSONDecodeError:
-                break
+                continue
     # last resort: a TRUNCATED tail (the r3 artifact cut the JSON line
     # mid-object) — recover whatever complete "q_name": seconds pairs
     # survived; partial is better than losing the round as a baseline.
@@ -156,7 +158,7 @@ def read_cal(path: str) -> tuple[float | None, int]:
                 d = json.loads(line)
                 return d.get("cal_sec"), d.get("cal_protocol", 1)
             except json.JSONDecodeError:
-                break  # truncated line — try the regex recovery
+                continue  # truncated line — a later complete line may parse
     m = re.search(r'"cal_sec":\s*([0-9.]+)\s*[,}]', text)
     mp = re.search(r'"cal_protocol":\s*(\d+)\s*[,}]', text)
     return (float(m.group(1)) if m else None), (int(mp.group(1)) if mp else 1)

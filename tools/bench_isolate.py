@@ -55,18 +55,26 @@ def _time_one(name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.1"
-    if argv and argv[0] == "--sf":
-        sf_dir = argv[1]
-        argv = argv[2:]
-    if argv and argv[0] == "--one":
-        print(json.dumps(_time_one(argv[1], sf_dir)), flush=True)
+    # argparse so flag misplacement errors out loudly instead of being
+    # misread as query names ('q_x --sf DIR' used to time two bogus
+    # "queries"; a trailing --sf raised IndexError) — ADVICE r7
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1",
+                    metavar="DIR", help="testdata scale-factor directory")
+    ap.add_argument("--one", metavar="QUERY", default=None,
+                    help="internal: time one query in THIS process")
+    ap.add_argument("queries", nargs="*", help="query names to isolate-time")
+    ns = ap.parse_args()
+    sf_dir = ns.sf
+    if ns.one:
+        print(json.dumps(_time_one(ns.one, sf_dir)), flush=True)
         return
-    if not argv:
-        sys.exit(__doc__)
+    if not ns.queries:
+        ap.error("no query names given")
     results, failed = [], []
-    for name in argv:
+    for name in ns.queries:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--sf", sf_dir, "--one", name],
