@@ -205,12 +205,12 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directive #4 — the two protocols measure different things and must
     # be quoted as such): ISOLATED (tools/bench_isolate.py, fresh JVM,
     # min-of-3, sf0.1) = 4.82 s — meets the r5 "<5 s" target; SHARED-
-    # SESSION (bench.py, 332 queries in one JVM, min-of-3 tail, sf0.1,
-    # driver-recorded BENCH_r07.json = committed BENCH_DETAIL.json)
-    # = 6.21 s. The residual gap is session pressure, not plan cost —
-    # before the r7 GC mitigation (session.py periodicGC note) the same
-    # bench read 7.25 s with the fixed canary degrading 3.3 s -> 12.9 s
-    # start-to-end; with it the canary spread is 0.95x in that run.
+    # SESSION (bench.py, 332 queries in one JVM, min-of-3 tail, sf0.1)
+    # = 6.21 s in the driver-recorded BENCH_r07.json, 5.42 s in the r8
+    # BENCH_DETAIL.json refresh. The residual gap is session pressure,
+    # not plan cost — before the r7 GC mitigation (session.py periodicGC
+    # note) the same bench read 7.25 s with the fixed canary degrading
+    # 3.3 s -> 12.9 s start-to-end; post-fix spreads are ~1x.
     # Was 9.0 s in r5 with the forced broadcast + 3-branch union.
     deg = (
         e.select(F.col("a").alias("node"))
