@@ -174,10 +174,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist only adds a blocking materialization + cache write —
     # no-persist beat persisted 3.45 s vs 4.27 s when measured in r6.
     # Timings by protocol (VERDICT r6 directive #4): ISOLATED
-    # (tools/bench_isolate.py, fresh JVM, min-of-3, sf0.1) = 3.67 s;
-    # SHARED-SESSION (bench.py, post-GC-mitigation) = 4.69 s in the
-    # driver-recorded BENCH_r07.json, 3.91 s in the r8 BENCH_DETAIL.json
-    # refresh — the gap is session pressure (post-fix spreads ~1x).
+    # (tools/bench_isolate.py, fresh JVM, min-of-3, sf0.1) = 3.67 s in
+    # r7, 3.70 s re-measured in r8; SHARED-SESSION (bench.py,
+    # post-GC-mitigation) = 4.69 s in the driver-recorded
+    # BENCH_r07.json, 3.91 s in the r8 BENCH_DETAIL.json refresh — the
+    # gap is session pressure (post-fix spreads ~1x).
     e = _part_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("node"))
