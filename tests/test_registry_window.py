@@ -92,3 +92,24 @@ def test_proposed_window_anchor_policy(tmp_path):
     # 3 backlog names first, then anchors: old_pair[1] (latest row r1)
     # precedes every r2-graded name; r2 anchors follow canonical order
     assert win == backlog + [old_pair[1], old_pair[0], rest[0]]
+
+
+def test_proposed_window_edge_cases(tmp_path):
+    """No artifacts → the window is simply the canonical head (every
+    query is backlog); k beyond the registered count must return the
+    full surface without raising, not pad or wrap."""
+    import json
+
+    registry.collect()
+    order = registry.canonical_order()
+    # empty artifacts dir: all queries never-graded
+    assert registry.proposed_window(50, repo_dir=str(tmp_path)) == order[:50]
+    # k > registered: everything, once
+    big = registry.proposed_window(len(order) + 100, repo_dir=str(tmp_path))
+    assert big == order
+    # everything graded in one round: window = k stalest anchors =
+    # canonical head again (all tie on round, canonical order breaks it)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in order})
+    )
+    assert registry.proposed_window(5, repo_dir=str(tmp_path)) == order[:5]
