@@ -113,3 +113,33 @@ def test_proposed_window_edge_cases(tmp_path):
         json.dumps({n: {} for n in order})
     )
     assert registry.proposed_window(5, repo_dir=str(tmp_path)) == order[:5]
+
+
+def test_rotate_window_rewrite_roundtrip():
+    """tools/rotate_window.py's in-place rewrite must (a) be a no-op
+    when fed the current window and (b) produce source whose evaluated
+    tuple is exactly the requested names — checked against the REAL
+    registry.py text so the regex can never silently drift from the
+    file it edits."""
+    import ast
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", os.path.join(REPO, "tools", "rotate_window.py")
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    src = open(os.path.join(REPO, "spark_ml_spark", "registry.py")).read()
+    registry.collect()
+    current = list(registry._GRADED_WINDOW)
+    assert rw.rewrite_tuple(src, current) == src  # no-op on current names
+
+    fake = [f"q_fake_{i}" for i in range(50)]
+    out = rw.rewrite_tuple(src, fake)
+    m = [n for n in ast.walk(ast.parse(out))
+         if isinstance(n, ast.Assign)
+         and getattr(n.targets[0], "id", "") == "_GRADED_WINDOW"]
+    assert len(m) == 1
+    assert list(ast.literal_eval(m[0].value)) == fake
