@@ -196,13 +196,22 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-iterative query in BENCH_DETAIL). At 100 TB the two-traversal
     shape doubles the dominant cost for no information gain."""
     ft = build_feature_table(spark, sf_dir)
-    split = F.when(F.rand(SEED) < 0.7, F.lit("train")).otherwise("test")
-    return (
-        ft.select(split.alias("split"))
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .orderBy(F.desc("split"))  # train first, matching the old output
+    is_train = (F.rand(SEED) < 0.7).cast("bigint")
+    counts = ft.select(is_train.alias("t")).agg(
+        F.coalesce(F.sum("t"), F.lit(0)).alias("n_train"),
+        F.coalesce(F.count(F.lit(1)) - F.sum("t"), F.lit(0)).alias("n_test"),
     )
+    # explode a 2-struct array so BOTH rows always appear — a group-by
+    # on the split label would drop an empty split (and the old
+    # randomSplit version always emitted both rows, including n=0)
+    return counts.select(
+        F.explode(F.array(
+            F.struct(F.lit("train").alias("split"),
+                     F.col("n_train").alias("n_rows")),
+            F.struct(F.lit("test").alias("split"),
+                     F.col("n_test").alias("n_rows")),
+        )).alias("s")
+    ).select("s.split", "s.n_rows")
 
 
 @query("q_ols_regression", oracle="""

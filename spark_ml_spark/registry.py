@@ -147,7 +147,12 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
         _glob.glob(_os.path.join(repo_dir, "CORRECTNESS_r*.json"))
     ):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        if not m:
+            # stray near-miss (scratch copy, partial dump): ingesting it
+            # would strand its names out of the backlog forever — skip,
+            # only canonical driver artifacts count
+            continue
+        rnd = int(m.group(1))
         for name in _json.load(open(path)):
             latest[name] = max(latest.get(name, 0), rnd)
     order = canonical_order()

@@ -86,6 +86,33 @@ def test_later_complete_line_wins_over_regex_mix(tmp_path):
     assert read_cal(path) == (3.2, 2)
 
 
+def test_complete_line_mentioning_queries_is_skipped(tmp_path):
+    # self-review r8: a complete JSON line that merely MENTIONS
+    # "queries" (log echo, no top-level dict key) must not crash with
+    # KeyError or return a non-dict — scan must continue to the real
+    # bench line after it.
+    text = ('{"note": "parsed \\"queries\\" ok", "n": 332}\n'
+            '{"metric": "m", "queries": 7}\n'
+            '{"metric": "m", "queries": {"q_a": 1.0}, "cal_sec": 3.0, '
+            '"cal_protocol": 2}\n')
+    path = _write(tmp_path, "echo.json", text)
+    assert read_bench(path) == {"q_a": 1.0}
+    assert read_cal(path) == (3.0, 2)
+
+
+def test_cal_scan_continues_past_canary_less_line(tmp_path):
+    # self-review r8: a complete pre-protocol bench line without
+    # cal_sec must not end the cal scan at (None, 1) when a later line
+    # carries the canary.
+    text = ('{"metric": "m", "queries": {"q_a": 1.0}}\n'
+            '{"metric": "m", "queries": {"q_a": 1.1}, "cal_sec": 2.5, '
+            '"cal_protocol": 2}\n')
+    path = _write(tmp_path, "twocal.json", text)
+    assert read_cal(path) == (2.5, 2)
+    # and read_bench still returns the FIRST complete line's queries
+    assert read_bench(path) == {"q_a": 1.0}
+
+
 def test_no_bench_json_raises(tmp_path):
     path = _write(tmp_path, "junk.json", "no json here at all")
     with pytest.raises(ValueError):

@@ -23,9 +23,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _never_graded() -> list[str]:
+    import re
+
     graded: set[str] = set()
-    # CORRECTNESS_r*.json, not r0*: double-digit rounds (r10+) must count
+    # CORRECTNESS_r*.json, not r0*: double-digit rounds (r10+) must count;
+    # regex-gate like registry.proposed_window so a stray near-miss file
+    # (CORRECTNESS_r08_partial.json) can't silently shrink the backlog
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        if not re.search(r"CORRECTNESS_r(\d+)\.json$", path):
+            continue
         graded |= set(json.load(open(path)).keys())
     registry.collect()
     # canonical_order, NOT dict order: a sibling test importing one
@@ -113,6 +119,22 @@ def test_proposed_window_edge_cases(tmp_path):
         json.dumps({n: {} for n in order})
     )
     assert registry.proposed_window(5, repo_dir=str(tmp_path)) == order[:5]
+
+
+def test_proposed_window_ignores_noncanonical_artifact_names(tmp_path):
+    """Self-review r8: a stray near-miss file (scratch copy, partial
+    dump) must not mark its names graded — only canonical
+    CORRECTNESS_r<digits>.json artifacts count."""
+    import json
+
+    registry.collect()
+    order = registry.canonical_order()
+    (tmp_path / "CORRECTNESS_r08_partial.json").write_text(
+        json.dumps({order[0]: {}})
+    )
+    (tmp_path / "CORRECTNESS_rdraft.json").write_text("not even json")
+    # both ignored: the window is still the canonical head
+    assert registry.proposed_window(50, repo_dir=str(tmp_path)) == order[:50]
 
 
 def test_rotate_window_rewrite_roundtrip():

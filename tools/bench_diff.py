@@ -114,11 +114,16 @@ def read_bench(path: str) -> dict[str, float]:
             # a line cut mid-object raises here; keep scanning — a LATER
             # complete bench line (bench printed twice, first truncated)
             # must win over the regex recovery, which would mix pairs
-            # from both lines (ADVICE r7)
+            # from both lines (ADVICE r7). A complete line that merely
+            # MENTIONS "queries" (log echo, wrapper re-print) must not
+            # crash or return a non-dict — require the actual key.
             try:
-                return json.loads(line)["queries"]
+                q = json.loads(line).get("queries")
             except json.JSONDecodeError:
                 continue
+            if isinstance(q, dict):
+                return q
+            continue
     # last resort: a TRUNCATED tail (the r3 artifact cut the JSON line
     # mid-object) — recover whatever complete "q_name": seconds pairs
     # survived; partial is better than losing the round as a baseline.
@@ -156,9 +161,12 @@ def read_cal(path: str) -> tuple[float | None, int]:
         if line.startswith("{") and '"queries"' in line:
             try:
                 d = json.loads(line)
-                return d.get("cal_sec"), d.get("cal_protocol", 1)
             except json.JSONDecodeError:
                 continue  # truncated line — a later complete line may parse
+            if d.get("cal_sec") is not None:
+                return d["cal_sec"], d.get("cal_protocol", 1)
+            # complete line but no canary (pre-protocol bench print):
+            # keep scanning — a later line may carry one
     m = re.search(r'"cal_sec":\s*([0-9.]+)\s*[,}]', text)
     mp = re.search(r'"cal_protocol":\s*(\d+)\s*[,}]', text)
     return (float(m.group(1)) if m else None), (int(mp.group(1)) if mp else 1)

@@ -52,8 +52,9 @@ def rewrite_tuple(src: str, names: list[str]) -> str:
 
 def main() -> None:
     check_only = "--check" in sys.argv[1:]
-    proposed = registry.proposed_window(50)
-    registry.collect()
+    proposed = registry.proposed_window(50)  # collect()s internally
+    if not proposed:
+        sys.exit("no queries registered — nothing to rotate")
     current = list(registry._GRADED_WINDOW)
     if current == proposed:
         print(f"window is current ({len(proposed)} names, "
