@@ -585,6 +585,14 @@ def main() -> None:
     # docstring numbers are finally protocol-comparable. Cost: ~10
     # queries x ~5 s, bounded, vs a 3rd full pass at ~380 s.
     _TAIL_SEC = 3.0
+    # second pressure reset before the tail reps (VERDICT r8 #8: the r8
+    # DRIVER run's canary spread was 1.51x vs the builder's 0.95x on
+    # identical code — pressure re-accumulates over pass 2, and the tail
+    # queries are exactly the task-heavy ones most sensitive to it; their
+    # min-of-3 sets the docstring-comparable numbers, so measure them
+    # from the same reclaimed state as pass 2. cal_end stays AFTER the
+    # tail reps — it still reports true end-of-session state.
+    spark.sparkContext._jvm.System.gc()
     for name in [n for n, t in timings.items() if t > _TAIL_SEC]:
         timings[name] = min(
             timings[name], time_query_once(spark, queries[name], sf_dir)

@@ -190,10 +190,13 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE pass, not two: ``randomSplit`` + two ``.count()`` calls traverse
     the whole feature-table plan (join + pivot hash-agg) once per split
-    — 3.5 s at sf0.1, all of it duplicated work. The same seeded
-    Bernoulli semantics expressed as a split-label column + group-by
-    runs the plan once and combines map-side (r8; was the slowest
-    non-iterative query in BENCH_DETAIL). At 100 TB the two-traversal
+    — 3.5 s at sf0.1, all of it duplicated work. A seeded Bernoulli
+    split with the same 70/30 expectation (``F.rand(SEED) < 0.7``; NOT
+    bit-identical to ``randomSplit``'s per-partition-seeded
+    sort-then-sample — counts differ slightly, fine for a rows-only
+    query) expressed as a split-label column + group-by runs the plan
+    once and combines map-side (r8, wording per VERDICT r8 #7; was the
+    slowest non-iterative query in BENCH_DETAIL). At 100 TB the two-traversal
     shape doubles the dominant cost for no information gain."""
     ft = build_feature_table(spark, sf_dir)
     is_train = (F.rand(SEED) < 0.7).cast("bigint")

@@ -170,81 +170,84 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r8 WINDOW (registration freeze, round 3 of 3): CORRECTNESS_r07.json
-#: landed 50/50 green, so the never-graded backlog is now **57** =
-#: ``registered (349) − union(CORRECTNESS_r*.json keys) (292)`` —
+#: r9 WINDOW (backlog drain — last round of the registration freeze):
+#: CORRECTNESS_r08.json landed 49 hash-green + 1 clean rows-only
+#: (``q_als_recommend``, no_oracle by design) with **zero failures**, so
+#: the never-graded backlog is down to **7** =
+#: ``registered (349) − union(CORRECTNESS_r*.json keys) (342)`` —
 #: always recomputed programmatically (``tests/test_registry_window.py``
 #: enforces this; never trust a hand-carried estimate), and the glob is
-#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting. This
-#: window holds the FIRST 50 of the 57 in canonical order — the r5
-#: warehouse-depth/ML-extras wave plus the statistics/eval/timeseries
-#: stragglers. Pre-audited with ``tools/driver_check.py`` strict mode at
-#: sf0.01, the protocol that produced three consecutive 50/50 rounds.
+#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting.
 #:
-#: Never-graded after a clean r8 = 7 (``q_diurnal_profile,
+#: This window = the 7-query backlog (``q_diurnal_profile,
 #: q_js_divergence, q_rank_churn, q_best_f1, q_boxplot_stats,
-#: q_growth_accounting, q_return_rate``); the r9 window retires those 7
-#: plus 43 continuity anchors. Zero continuity anchors while backlog > 50.
+#: q_growth_accounting, q_return_rate`` — SURVEY §2.16 waves 75–77)
+#: followed by the 43 least-recently-graded continuity anchors (the r1
+#: relational core, last graded in CORRECTNESS_r01.json). This is the
+#: FIRST window in the anchor regime: backlog < 50, so anchors re-verify
+#: that old green queries stayed green. After a clean r9 grade, every
+#: registered query has a driver row and registration may reopen
+#: (see REOPENING.md for the ranked candidate list — written first, per
+#: VERDICT r8 #5).
 #:
-#: Every rotation (r9 included) is now ONE mechanical step: paste the
-#: output of :func:`proposed_window` here — backlog first, then
-#: least-recently-graded anchors — pre-audit through
-#: ``tools/driver_check.py``, commit. ``tests/test_registry_window.py``
-#: pins this tuple to ``proposed_window(50)`` exactly, in both the
-#: backlog≥50 and the anchor regimes.
+#: Generated by ``tools/rotate_window.py`` (mechanical paste of
+#: :func:`proposed_window`), pre-audited through ``tools/driver_check.py``
+#: strict mode at sf0.01. ``tests/test_registry_window.py`` pins this
+#: tuple to ``proposed_window(50)`` exactly, in both the backlog≥50 and
+#: the anchor regimes.
 _GRADED_WINDOW = (
-    # first 50 of the never-graded backlog in canonical_order()
-    # (module rank, then definition order); see the r8 WINDOW note above
-    "q_semi_additive_agg",
-    "q_snowflake_join",
-    "q_permutation_test",
-    "q_als_recommend",
-    "q_fpgrowth_itemsets",
-    "q_feature_selection",
-    "q_bigram_lm",
-    "q_rake_keywords",
-    "q_compaction_plan",
-    "q_seasonal_decompose",
-    "q_pinball_eval",
-    "q_shapley_attribution",
-    "q_cohens_kappa",
-    "q_bh_fdr",
-    "q_ndcg_eval",
-    "q_friedman_test",
-    "q_record_linkage",
-    "q_nelson_aalen",
-    "q_cuped_adjust",
-    "q_stratified_ate",
-    "q_cochran_q",
-    "q_logrank_test",
-    "q_mann_kendall",
-    "q_capture_recapture",
-    "q_heaps_law",
-    "q_mrr_eval",
-    "q_ttr_profile",
-    "q_dp_counts",
-    "q_periodogram",
-    "q_logistic_gd_step",
-    "q_langid_confusion",
-    "q_cluster_purity",
-    "q_pr_curve",
-    "q_point_in_time_join",
-    "q_ess_weights",
-    "q_dkw_band",
-    "q_wilson_ci",
-    "q_markov_stationary",
-    "q_shewhart_chart",
-    "q_hill_tail",
-    "q_gumbel_maxima",
-    "q_odds_ratio",
-    "q_price_index",
-    "q_overdispersion",
-    "q_audience_overlap",
-    "q_median_ci",
-    "q_ece",
-    "q_simpson_check",
-    "q_lognormal_fit",
-    "q_smape_eval",
+    # 7-query never-graded backlog, then 43 least-recently-graded
+    # anchors (canonical_order tie-break); see the r9 WINDOW note above
+    "q_diurnal_profile",
+    "q_js_divergence",
+    "q_rank_churn",
+    "q_best_f1",
+    "q_boxplot_stats",
+    "q_growth_accounting",
+    "q_return_rate",
+    "q_csv_scan",
+    "q_orc_scan",
+    "q_json_scan",
+    "q_project",
+    "q_filter_predicate",
+    "q_cast",
+    "q_scalar_funcs",
+    "q_count",
+    "q_groupby_agg",
+    "q_having",
+    "q_count_distinct",
+    "q_approx_count_distinct",
+    "q_describe_stats",
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_pivot",
+    "q_l1_normalize",
+    "q_semi_join",
+    "q_dim_broadcast_join",
+    "q_anti_join",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_limit",
+    "q_topk",
+    "q_window_rank",
+    "q_window_running",
+    "q_sessionize",
+    "q_tumbling_window",
+    "q_asof_join",
+    "q_salted_agg",
+    "q_partition_pruning",
+    "q_rollup",
+    "q_cube",
+    "q_json_extract",
+    "q_date_parts",
+    "q_window_leadlag",
+    "q_range_join",
+    "q_ml_features",
+    "q_rf_regression",
+    "q_gbt_regression",
+    "q_random_split",
+    "q_ols_regression",
 )
 
 

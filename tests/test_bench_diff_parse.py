@@ -100,17 +100,28 @@ def test_complete_line_mentioning_queries_is_skipped(tmp_path):
     assert read_cal(path) == (3.0, 2)
 
 
-def test_cal_scan_continues_past_canary_less_line(tmp_path):
-    # self-review r8: a complete pre-protocol bench line without
-    # cal_sec must not end the cal scan at (None, 1) when a later line
-    # carries the canary.
+def test_both_readers_pick_the_same_last_line(tmp_path):
+    # ADVICE r8: two complete bench prints (re-run appended) must never
+    # pair run-1 query timings with run-2's canary. Both readers pick
+    # the LAST complete line — the appended re-run supersedes.
     text = ('{"metric": "m", "queries": {"q_a": 1.0}}\n'
             '{"metric": "m", "queries": {"q_a": 1.1}, "cal_sec": 2.5, '
             '"cal_protocol": 2}\n')
     path = _write(tmp_path, "twocal.json", text)
+    assert read_bench(path) == {"q_a": 1.1}
     assert read_cal(path) == (2.5, 2)
-    # and read_bench still returns the FIRST complete line's queries
-    assert read_bench(path) == {"q_a": 1.0}
+
+
+def test_canary_less_last_line_reports_none_not_other_runs_cal(tmp_path):
+    # ADVICE r8, mirror case: the superseding re-run PREDATES the
+    # canary while the stale first print carries one — read_cal must
+    # report None for the chosen run, not borrow the dead line's 9.9.
+    text = ('{"metric": "m", "queries": {"q_a": 5.0}, "cal_sec": 9.9, '
+            '"cal_protocol": 2}\n'
+            '{"metric": "m", "queries": {"q_a": 1.1}}\n')
+    path = _write(tmp_path, "stalecal.json", text)
+    assert read_bench(path) == {"q_a": 1.1}
+    assert read_cal(path) == (None, 1)
 
 
 def test_no_bench_json_raises(tmp_path):

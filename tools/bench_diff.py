@@ -93,6 +93,34 @@ EXPLAINED_REGRESSIONS = {
 }
 
 
+def _last_bench_line(text: str) -> dict | None:
+    """The LAST complete bench JSON line in *text* (a dict whose
+    ``queries`` value is a dict), or None if no line parses.
+
+    Both :func:`read_bench` and :func:`read_cal` draw from this SAME
+    line, so a file holding two complete bench prints (a re-run
+    appended after a superseded or truncated first print) can never
+    pair run-1 query timings with run-2's canary (ADVICE r8; last wins
+    because an appended re-run supersedes the earlier print). A line
+    cut mid-object fails json.loads and is skipped — a LATER complete
+    bench line must win over the regex recovery, which would mix pairs
+    from both lines (ADVICE r7). A complete line that merely MENTIONS
+    "queries" (log echo, wrapper re-print) is skipped too — the actual
+    dict-valued key is required.
+    """
+    best = None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
+                best = doc
+    return best
+
+
 def read_bench(path: str) -> dict[str, float]:
     """Accept either raw `python bench.py` output (one JSON line, possibly
     surrounded by log noise) or the driver's BENCH_r{N}.json wrapper
@@ -108,22 +136,9 @@ def read_bench(path: str) -> dict[str, float]:
             text = doc.get("tail", "")
     except json.JSONDecodeError:
         pass
-    for line in text.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"queries"' in line:
-            # a line cut mid-object raises here; keep scanning — a LATER
-            # complete bench line (bench printed twice, first truncated)
-            # must win over the regex recovery, which would mix pairs
-            # from both lines (ADVICE r7). A complete line that merely
-            # MENTIONS "queries" (log echo, wrapper re-print) must not
-            # crash or return a non-dict — require the actual key.
-            try:
-                q = json.loads(line).get("queries")
-            except json.JSONDecodeError:
-                continue
-            if isinstance(q, dict):
-                return q
-            continue
+    doc = _last_bench_line(text)
+    if doc is not None:
+        return doc["queries"]
     # last resort: a TRUNCATED tail (the r3 artifact cut the JSON line
     # mid-object) — recover whatever complete "q_name": seconds pairs
     # survived; partial is better than losing the round as a baseline.
@@ -156,17 +171,12 @@ def read_cal(path: str) -> tuple[float | None, int]:
             text = doc.get("tail", "")
     except json.JSONDecodeError:
         pass
-    for line in text.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"queries"' in line:
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue  # truncated line — a later complete line may parse
-            if d.get("cal_sec") is not None:
-                return d["cal_sec"], d.get("cal_protocol", 1)
-            # complete line but no canary (pre-protocol bench print):
-            # keep scanning — a later line may carry one
+    doc = _last_bench_line(text)
+    if doc is not None:
+        # the SAME line read_bench returns (ADVICE r8) — if that run
+        # predates the canary, report None honestly rather than pairing
+        # its query timings with a DIFFERENT run's canary
+        return doc.get("cal_sec"), doc.get("cal_protocol", 1)
     m = re.search(r'"cal_sec":\s*([0-9.]+)\s*[,}]', text)
     mp = re.search(r'"cal_protocol":\s*(\d+)\s*[,}]', text)
     return (float(m.group(1)) if m else None), (int(mp.group(1)) if mp else 1)
