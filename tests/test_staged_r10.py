@@ -1,0 +1,89 @@
+"""Oracle-differential tests for the STAGED r10 candidates
+(``operators/staged_r10.py``) — the same strict compare the driver
+applies (column names + order-insensitive value hash via
+``tools.driver_check.value_hash``), run BEFORE registration so the r10
+reopening flips on code that is already driver-green by construction.
+
+Also pins the freeze guarantee: importing the staged module must NOT
+register anything (``len(queries()) == 349`` until r10 flips it on).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from driver_check import value_hash  # noqa: E402
+
+from spark_ml_spark.operators.staged_r10 import STAGED  # noqa: E402
+from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
+
+
+def test_staged_module_registers_nothing():
+    # the r9 freeze guard: this module stages code for r10 — importing
+    # it (as this test file just did) must leave the registry at the
+    # frozen 349 with none of the staged names present
+    qs, _ = collect()
+    assert len(qs) == 349
+    assert not set(STAGED) & set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_match(name, spark, duck, sf_dir):
+    fn, sql = STAGED[name]
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch {scols} vs {ocols}")
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} vs {len(orows)}")
+    assert value_hash(scols, srows) == value_hash(ocols, orows), (
+        f"{name}: value hash mismatch")
+
+
+def test_minmax_downsample_output_is_bounded(spark, sf_dir):
+    # the downsampler property: output never exceeds 2 rows per bucket,
+    # whatever the input size
+    rows = STAGED["q_minmax_downsample"][0](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 2 * 96
+    per_bucket: dict[int, set[str]] = {}
+    for r in rows:
+        per_bucket.setdefault(r.bucket, set()).add(r.kind)
+    assert all(kinds <= {"min", "max"} for kinds in per_bucket.values())
+
+
+def test_weighted_quantile_is_monotone(spark, sf_dir):
+    rows = STAGED["q_weighted_quantile"][0](spark, sf_dir).collect()
+    assert [r.pct_ppm for r in rows] == [
+        250000, 500000, 750000, 900000, 990000]
+    vals = [r.value_cents for r in rows]
+    assert vals == sorted(vals)
+
+
+def test_join_skew_report_metric_identities(spark, sf_dir):
+    m = {r.metric: r.value
+         for r in STAGED["q_join_skew_report"][0](spark, sf_dir).collect()}
+    assert len(m) == 8
+    assert m["n_rows"] >= m["n_keys"] > 0
+    assert m["max_key_rows"] >= m["p99_key_rows"] >= m["p50_key_rows"] > 0
+    assert 0 <= m["gini_ppm"] <= 1_000_000
+    assert 0 < m["top1_share_ppm"] <= 1_000_000
+
+
+def test_audits_report_sketches_within_bounds(spark, sf_dir):
+    # the two audit twins' entire point: the booleans are TRUE on real
+    # data (if a Spark upgrade ever breaks a sketch's published bound,
+    # this — and the driver hash — is the alarm)
+    pct = STAGED["q_approx_percentiles_audit"][0](spark, sf_dir).collect()
+    assert len(pct) == 4 and all(r.within_bound for r in pct)
+    hll = STAGED["q_hll_error_audit"][0](spark, sf_dir).collect()
+    assert len(hll) == 3 and all(r.within_3sigma for r in hll)
