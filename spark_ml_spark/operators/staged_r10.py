@@ -552,6 +552,50 @@ ORDER BY pct_ppm
 """
 
 
+def q_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source (REOPENING #7), rounding out §2.1 formats
+    (CSV/parquet/ORC/JSONL are registered): the documents table's text
+    column round-trips through ``spark.write.text`` / ``spark.read.text``
+    (valid because the fixture corpus is newline-free — verified 0 rows
+    with embedded \\n or \\r at sf0.01) and the line-level profile is
+    aggregated; the oracle reads the ORIGINAL parquet view, so a hash
+    match proves the text round-trip lossless — the same proof shape as
+    ``q_csv_scan`` / ``q_orc_scan`` (``operators/relational.py:41,70``).
+
+    Scale shape: text write/scan are trivially splittable (one line =
+    one record, no parse state across splits); the profile is one
+    map-side-combined global aggregate."""
+    import os
+
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
+
+    key = fixture_key(sf_dir, "documents")
+    out = os.path.join(_CACHE_DIR, f"documents_text_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("sum_chars"),
+        F.min(F.length("value")).cast("bigint").alias("min_line_chars"),
+        F.max(F.length("value")).cast("bigint").alias("max_line_chars"),
+        F.count_distinct(F.length("value"))
+        .cast("bigint").alias("n_distinct_lengths"),
+    )
+
+
+ORACLE_TEXT_SCAN = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_line_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_line_chars,
+       CAST(count(DISTINCT length(text)) AS BIGINT) AS n_distinct_lengths
+FROM documents
+"""
+
+
 #: name -> (query fn, oracle SQL). r10 registration = append this module
 #: to ``registry._OPERATOR_MODULES`` and apply::
 #:
@@ -568,4 +612,5 @@ STAGED = {
     "q_minmax_downsample": (q_minmax_downsample, ORACLE_MINMAX_DOWNSAMPLE),
     "q_join_skew_report": (q_join_skew_report, ORACLE_JOIN_SKEW_REPORT),
     "q_weighted_quantile": (q_weighted_quantile, ORACLE_WEIGHTED_QUANTILE),
+    "q_text_scan": (q_text_scan, ORACLE_TEXT_SCAN),
 }
