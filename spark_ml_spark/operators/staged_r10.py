@@ -596,6 +596,94 @@ FROM documents
 """
 
 
+def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting (REOPENING #8, rows-only BY
+    DESIGN — emission/finalization timing is engine-specific micro-batch
+    behavior no batch SQL can reproduce): the events table is replayed
+    as three micro-batches with ENGINEERED disorder — middle third
+    first, newest third second, oldest third LAST — so when the final
+    batch arrives the 30-minute watermark (advanced by the newest data)
+    has already passed its rows, and the hourly append-mode aggregate
+    drops them. The output compares each emitted (finalized) hourly
+    window against the exact batch count on the same rows:
+    ``complete`` is TRUE only where no late drop and no unfinalized
+    tail truncated the window — the accounting a production pipeline
+    needs before trusting a watermarked rollup.
+
+    Invariants pinned in ``tests/test_staged_r10.py``: emitted counts
+    never exceed exact counts, at least one window shows a late drop,
+    and fully-on-time windows match exactly.
+
+    Scale shape: the streaming aggregate is the standard watermarked
+    hash aggregate (state bounded by watermark horizon); the audit join
+    is per-hour aggregates only. The 3-file replay layout is cached
+    under ``.cache/`` keyed by ``fixture_key`` (content fingerprint —
+    the driver regenerates fixtures between rounds)."""
+    import os
+
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
+    from spark_ml_spark.streaming.stream_queries import _drain
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = fixture_key(sf_dir, "events")
+    out = os.path.join(_CACHE_DIR, f"events_disorder_{key}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        ev = load(spark, sf_dir, "events").select("ts", "event_id")
+        b = ev.select(
+            F.percentile_approx("ts", 1 / 3).alias("t1"),
+            F.percentile_approx("ts", 2 / 3).alias("t2"),
+        ).first()
+        # replay order: middle, newest, OLDEST-LAST (the late arrivals)
+        parts = [
+            ev.filter((F.col("ts") > b.t1) & (F.col("ts") <= b.t2)),
+            ev.filter(F.col("ts") > b.t2),
+            ev.filter(F.col("ts") <= b.t1),
+        ]
+        os.makedirs(out, exist_ok=True)
+        for i, p in enumerate(parts):
+            tmp = os.path.join(out, f"tmp{i}")
+            p.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            # the file source replays in modification-time order, which
+            # sequential writes guarantee matches batch order
+            os.rename(os.path.join(tmp, src),
+                      os.path.join(out, f"batch_{i}.parquet"))
+        open(os.path.join(out, "_DONE"), "w").close()
+    stream = (
+        spark.readStream.schema("ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(out)
+    )
+    emitted = _drain(
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted")),
+        "append",
+    ).select(
+        F.unix_micros(F.col("w.start")).alias("hour_us"), "n_emitted"
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_micros(F.window("ts", "1 hour").start).alias("hour_us")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return (
+        exact.join(emitted, "hour_us", "left")
+        .select(
+            "hour_us",
+            F.coalesce("n_emitted", F.lit(0)).cast("bigint")
+            .alias("n_emitted"),
+            "n_exact",
+            (F.coalesce("n_emitted", F.lit(0)) == F.col("n_exact"))
+            .alias("complete"),
+        )
+        .orderBy("hour_us")
+    )
+
+
 #: name -> (query fn, oracle SQL). r10 registration = append this module
 #: to ``registry._OPERATOR_MODULES`` and apply::
 #:
@@ -613,4 +701,7 @@ STAGED = {
     "q_join_skew_report": (q_join_skew_report, ORACLE_JOIN_SKEW_REPORT),
     "q_weighted_quantile": (q_weighted_quantile, ORACLE_WEIGHTED_QUANTILE),
     "q_text_scan": (q_text_scan, ORACLE_TEXT_SCAN),
+    # rows-only by design (micro-batch emission timing) — r10 registers
+    # it WITHOUT oracle SQL, joining the documented 14-strong cohort
+    "q_stream_watermark_audit": (q_stream_watermark_audit, None),
 }

@@ -33,7 +33,8 @@ def test_staged_module_registers_nothing():
     assert not set(STAGED) & set(QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize(
+    "name", sorted(n for n, (_, sql) in STAGED.items() if sql is not None))
 def test_staged_oracle_match(name, spark, duck, sf_dir):
     fn, sql = STAGED[name]
     sdf = fn(spark, sf_dir)
@@ -77,6 +78,21 @@ def test_join_skew_report_metric_identities(spark, sf_dir):
     assert m["max_key_rows"] >= m["p99_key_rows"] >= m["p50_key_rows"] > 0
     assert 0 <= m["gini_ppm"] <= 1_000_000
     assert 0 < m["top1_share_ppm"] <= 1_000_000
+
+
+def test_stream_watermark_audit_accounting(spark, sf_dir):
+    # rows-only by design — these invariants ARE its correctness story:
+    # emitted never exceeds exact, the engineered oldest-third-last
+    # replay forces at least one late-dropped (incomplete) window, and
+    # windows marked complete really match the batch count exactly
+    rows = STAGED["q_stream_watermark_audit"][0](spark, sf_dir).collect()
+    assert rows, "no hourly windows at all"
+    assert all(r.n_emitted <= r.n_exact for r in rows)
+    assert any(not r.complete for r in rows), (
+        "disorder replay should drop or truncate at least one window")
+    assert any(r.complete for r in rows), (
+        "on-time windows should survive intact")
+    assert all((r.n_emitted == r.n_exact) == r.complete for r in rows)
 
 
 def test_audits_report_sketches_within_bounds(spark, sf_dir):
