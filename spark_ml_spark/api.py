@@ -456,7 +456,9 @@ def global_rank(
     ``sort_cols`` must be a total order (include a unique tiebreaker) or
     ranks are nondeterministic across range-partitioner samplings. Adds
     ``rank_col`` and ``total_col`` (corpus row count, for ntile-style
-    arithmetic); drops nothing else.
+    arithmetic); drops nothing else. The value-summing twin is
+    :func:`global_prefix_sum` (same two-phase machinery; candidates for
+    a shared internal once registration reopens — see REOPENING.md).
     """
     # the working columns and outputs must not collide with input columns
     # — a pre-existing _pid/_rn/_pcs (or rank/total name) would silently
@@ -506,6 +508,84 @@ def global_rank(
             ),
         )
         .drop("_pid", "_rn", "_pcs")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame, sort_cols: list[str], val_col: str, partitions: int = 32,
+    cum_col: str = "cum_sum", total_col: str = "sum_total",
+) -> DataFrame:
+    """Inclusive running sum of ``val_col`` over the global order
+    ``sort_cols`` WITHOUT a single-partition window — the value-summing
+    twin of :func:`global_rank` (same two-phase shape, same hazards;
+    self-review r9 extracted it here so the subtle machinery lives
+    once: weighted quantiles, CDFs, and cumulative-share queries all
+    need a prefix SUM where global_rank gives a prefix COUNT).
+
+    Phase 1: range-repartition on the sort key; a windowed running sum
+    within each range partition (every partition scans only its slice).
+    Phase 2: per-partition value totals fold into ONE array-of-structs
+    row, broadcast; the global cumulative sum adds the lower
+    partitions' totals via a JVM higher-order aggregate. Accumulation
+    is BIGINT — callers whose values can overflow int64 at target scale
+    should pre-scale (the same contract as the repo's micro-unit
+    convention).
+
+    ``sort_cols`` must be a total order (include a unique tiebreaker)
+    or cumulative sums at equal keys are nondeterministic across
+    range-partitioner samplings. Adds ``cum_col`` and ``total_col``
+    (the grand total, for share-of-total arithmetic); drops nothing
+    else.
+    """
+    reserved = {"_pid", "_cw", "_pts", cum_col, total_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum: input columns collide with working/"
+            f"output names {sorted(clash)}; rename them or pass "
+            f"different cum_col/total_col")
+    if cum_col == total_col:
+        raise ValueError(
+            "global_prefix_sum: cum_col and total_col must differ")
+    # persist the ranged layout for the same reason global_rank does:
+    # the running-sum and per-partition-totals branches both read this
+    # exchange, and without pinning, a defeated ReusedExchange lets the
+    # two branches sample different range boundaries (the silent-rank-
+    # corruption class caught by q_skipping_report's artifact, r3)
+    ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    local = ranged.withColumn(
+        "_cw",
+        F.sum(F.col(val_col).cast("bigint")).over(
+            W.partitionBy("_pid").orderBy(*sort_cols)
+        ),
+    )
+    pts = ranged.groupBy("_pid").agg(
+        F.sum(F.col(val_col).cast("bigint")).alias("pw")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_pid").alias("pid"), F.col("pw")))
+        ).alias("_pts")
+    )
+    return (
+        local.join(F.broadcast(pts))
+        .withColumn(
+            cum_col,
+            F.col("_cw")
+            + F.aggregate(
+                F.filter("_pts", lambda p: p["pid"] < F.col("_pid")),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + p["pw"],
+            ),
+        )
+        .withColumn(
+            total_col,
+            F.aggregate(
+                "_pts", F.lit(0).cast("bigint"), lambda acc, p: acc + p["pw"]
+            ),
+        )
+        .drop("_pid", "_cw", "_pts")
     )
 
 

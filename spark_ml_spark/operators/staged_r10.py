@@ -62,8 +62,9 @@ def q_approx_percentiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-error-bound audit for ``approx_percentile`` (REOPENING #1):
     for each target percentile p, compute the sketch value v AND v's
     exact rank interval (#rows < v, #rows <= v] in the same plan, and
-    emit whether that interval overlaps the published tolerance
-    [(p-eps)*n, (p+eps)*n], eps = 1/accuracy. The oracle recomputes n
+    emit whether that interval intersects the published tolerance
+    [floor((p-eps)*n), ceil((p+eps)*n)], eps = 1/accuracy. The oracle
+    recomputes n
     and emits the contract row (pct_ppm, n, TRUE) — a hash match proves
     the sketch met its bound, which de-caveats the rows-only
     ``q_approx_percentiles`` twin.
@@ -104,9 +105,15 @@ def q_approx_percentiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p_frac = F.col("pct_ppm").cast("double") / F.lit(1_000_000.0)
     n_d = F.col("n").cast("double")
+    # the published guarantee (ApproximatePercentile): rank(v) lies in
+    # the closed integer interval [floor((p-eps)*N), ceil((p+eps)*N)].
+    # v occupies ranks (c_lt, c_le], which intersects it iff
+    # c_le >= floor(lo) AND c_lt < ceil(hi) — STRICT on the upper edge:
+    # c_lt == ceil(hi) puts v's entire rank range above the bound
+    # (self-review r9: the earlier <= admitted a one-rank miss)
     within = (
-        (F.col("c_le").cast("double") >= (p_frac - F.lit(eps)) * n_d)
-        & (F.col("c_lt").cast("double") <= (p_frac + F.lit(eps)) * n_d)
+        (F.col("c_le") >= F.floor((p_frac - F.lit(eps)) * n_d))
+        & (F.col("c_lt") < F.ceil((p_frac + F.lit(eps)) * n_d))
     )
     return counts.select(
         "pct_ppm", "n", within.alias("within_bound")
@@ -176,8 +183,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type, each observation's value holds until the next
     observation of the same type (LOCF semantics), weighted by that
     holding duration in microseconds; the final observation has no
-    duration and is excluded. Emits the interval count, total covered
-    microseconds, and the time-weighted mean in value-micro units.
+    duration and is excluded, and a type with ZERO covered time (every
+    event on one microsecond) is dropped rather than divided by zero
+    (self-review r9: Spark's NaN→bigint cast and DuckDB's NaN cast
+    error would otherwise diverge). Emits the interval count, total
+    covered microseconds, and the time-weighted mean in value-micro
+    units.
 
     Scale shape: one window sort-shuffle partitioned by the natural key
     (event_type) with a unique tiebreaker, then a map-side-combined
@@ -210,6 +221,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         F.sum("dur_us").cast("bigint").alias("total_dur_us"),
         F.sum("wv").alias("wv_sum"),
+    ).where(
+        # zero covered time (every interval zero-width: all events of a
+        # type share one microsecond) has no time-weighted mean — drop
+        # the group rather than divide by zero, where Spark's NaN→bigint
+        # cast (0) and DuckDB's NaN cast (error) would diverge
+        # (self-review r9)
+        F.col("total_dur_us") > 0
     )
     return g.select(
         "event_type",
@@ -243,6 +261,7 @@ SELECT event_type,
 FROM seq
 WHERE next_us IS NOT NULL
 GROUP BY event_type
+HAVING sum(next_us - ts_us) > 0
 ORDER BY event_type
 """
 
@@ -466,13 +485,15 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar ``q_weighted_median`` with a full quantile vector.
 
     Scale shape: per-value weight aggregation first (the cumulative
-    scan runs over DISTINCT values, not rows), then a distributed
-    prefix sum with the same two-phase pattern as ``api.global_rank``:
-    range-repartition on value, per-partition window cumsum, and a
-    broadcast one-row array of per-partition totals supplies each
-    partition's offset — no single-partition window anywhere. The
-    threshold compare runs in DECIMAL (cumweight*1e6 reaches ~1e21 at
-    the 100 TB target, past int64)."""
+    scan runs over DISTINCT values, not rows), then
+    ``api.global_prefix_sum`` — the two-phase range-partition prefix
+    sum extracted from this query's first draft (self-review r9: no
+    second inline copy of ``global_rank``'s offset machinery) — so no
+    single-partition window anywhere. The threshold compare runs in
+    DECIMAL (cumweight*1e6 reaches ~1e21 at the 100 TB target, past
+    int64)."""
+    from spark_ml_spark.api import global_prefix_sum
+
     byv = (
         load(spark, sf_dir, "lineitem")
         .select(
@@ -483,39 +504,9 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
-    ranged = (
-        byv.repartitionByRange(32, "v")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    loc = ranged.withColumn(
-        "_cw", F.sum("w").over(W.partitionBy("_pid").orderBy("v"))
-    )
-    ptot = (
-        ranged.groupBy("_pid")
-        .agg(F.sum("w").alias("pw"))
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("_pid").alias("pid"), F.col("pw"))
-                )
-            ).alias("_pts")
-        )
-    )
-    cum = loc.crossJoin(F.broadcast(ptot)).select(
-        "v",
-        (
-            F.col("_cw")
-            + F.aggregate(
-                F.filter("_pts", lambda x: x["pid"] < F.col("_pid")),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x["pw"],
-            )
-        ).alias("cumw"),
-        F.aggregate(
-            "_pts", F.lit(0).cast("bigint"), lambda acc, x: acc + x["pw"]
-        ).alias("tot"),
-    )
+    cum = global_prefix_sum(
+        byv, ["v"], "w", cum_col="cumw", total_col="tot"
+    ).select("v", "cumw", "tot")
     probes = F.array(*[F.lit(p).cast("bigint") for p in _WQ_PPM])
     hit = cum.select(
         "v", "cumw", "tot", F.explode(probes).alias("pct_ppm")
@@ -639,6 +630,8 @@ def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(F.col("ts") > b.t2),
             ev.filter(F.col("ts") <= b.t1),
         ]
+        import shutil
+
         os.makedirs(out, exist_ok=True)
         for i, p in enumerate(parts):
             tmp = os.path.join(out, f"tmp{i}")
@@ -648,6 +641,9 @@ def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sequential writes guarantee matches batch order
             os.rename(os.path.join(tmp, src),
                       os.path.join(out, f"batch_{i}.parquet"))
+            # drop the writer scaffolding (_SUCCESS, .crc): litter, and a
+            # hazard if the glob filter ever loosens (self-review r9)
+            shutil.rmtree(tmp)
         open(os.path.join(out, "_DONE"), "w").close()
     stream = (
         spark.readStream.schema("ts timestamp, event_id long")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -179,6 +180,41 @@ def test_global_rank_matches_sorted_enumerate(spark, vals):
     }
     assert {k: v[0] for k, v in got.items()} == expect
     assert all(v[1] == len(vals) for v in got.values())
+
+
+@given(st.lists(st.tuples(
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=0, max_value=100)),
+    min_size=1, max_size=60))
+@SETTINGS
+def test_global_prefix_sum_matches_sorted_cumsum(spark, pairs):
+    """api.global_prefix_sum (the value-summing twin of global_rank,
+    self-review r9) must equal a plain sorted-order running sum for any
+    multiset of (key, weight), with the id tiebreaker making the order
+    total."""
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(pairs)],
+        "id long, v long, w long",
+    )
+    got = {
+        r.id: (r.cum_sum, r.sum_total)
+        for r in api.global_prefix_sum(
+            df, ["v", "id"], "w", partitions=4
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for v, rid, w in sorted((v, i, w) for i, (v, w) in enumerate(pairs)):
+        acc += w
+        expect[rid] = acc
+    total = sum(w for _, w in pairs)
+    assert {k: c for k, (c, _) in got.items()} == expect
+    assert all(t == total for _, t in got.values())
+
+
+def test_global_prefix_sum_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "v long, cum_sum long")
+    with pytest.raises(ValueError, match="collide"):
+        api.global_prefix_sum(df, ["v"], "v")
 
 
 def test_funnel_counts_monotone(spark, sf_dir):
