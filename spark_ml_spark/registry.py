@@ -170,25 +170,21 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r9 WINDOW (backlog drain — last round of the registration freeze):
-#: CORRECTNESS_r08.json landed 49 hash-green + 1 clean rows-only
-#: (``q_als_recommend``, no_oracle by design) with **zero failures**, so
-#: the never-graded backlog is down to **7** =
-#: ``registered (349) − union(CORRECTNESS_r*.json keys) (342)`` —
-#: always recomputed programmatically (``tests/test_registry_window.py``
-#: enforces this; never trust a hand-carried estimate), and the glob is
-#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting.
+#: r10 WINDOW (interim rotation, pre-reopening): CORRECTNESS_r09.json
+#: landed 45 hash-green + 5 clean rows-only with **zero failures**,
+#: draining the backlog to **0** — every one of the 349 registered
+#: queries now has a driver row (335 hash-green + 14 rows-only by
+#: design). The backlog is always recomputed programmatically as
+#: ``registered − union(CORRECTNESS_r*.json keys)``
+#: (``tests/test_registry_window.py`` enforces this; the glob is
+#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting).
 #:
-#: This window = the 7-query backlog (``q_diurnal_profile,
-#: q_js_divergence, q_rank_churn, q_best_f1, q_boxplot_stats,
-#: q_growth_accounting, q_return_rate`` — SURVEY §2.16 waves 75–77)
-#: followed by the 43 least-recently-graded continuity anchors (the r1
-#: relational core, last graded in CORRECTNESS_r01.json). This is the
-#: FIRST window in the anchor regime: backlog < 50, so anchors re-verify
-#: that old green queries stayed green. After a clean r9 grade, every
-#: registered query has a driver row and registration may reopen
-#: (see REOPENING.md for the ranked candidate list — written first, per
-#: VERDICT r8 #5).
+#: This is the pure-anchor regime head: 50 least-recently-graded
+#: anchors (r1-era ML/dedup/similarity core, last graded in
+#: CORRECTNESS_r0{1,2}.json). It is INTERIM: the r10 reopening
+#: (VERDICT r9 #1) registers the eight ``operators/staged_r10.py``
+#: queries, which join the never-graded backlog and lead the re-rotated
+#: final r10 window (see the module docstring and REOPENING.md).
 #:
 #: Generated by ``tools/rotate_window.py`` (mechanical paste of
 #: :func:`proposed_window`), pre-audited through ``tools/driver_check.py``
@@ -196,58 +192,58 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: tuple to ``proposed_window(50)`` exactly, in both the backlog≥50 and
 #: the anchor regimes.
 _GRADED_WINDOW = (
-    # 7-query never-graded backlog, then 43 least-recently-graded
-    # anchors (canonical_order tie-break); see the r9 WINDOW note above
-    "q_diurnal_profile",
-    "q_js_divergence",
-    "q_rank_churn",
-    "q_best_f1",
-    "q_boxplot_stats",
-    "q_growth_accounting",
-    "q_return_rate",
-    "q_csv_scan",
-    "q_orc_scan",
-    "q_json_scan",
-    "q_project",
-    "q_filter_predicate",
-    "q_cast",
-    "q_scalar_funcs",
-    "q_count",
-    "q_groupby_agg",
-    "q_having",
-    "q_count_distinct",
-    "q_approx_count_distinct",
-    "q_describe_stats",
-    "q_percentiles",
-    "q_approx_percentiles",
-    "q_pivot",
-    "q_l1_normalize",
-    "q_semi_join",
-    "q_dim_broadcast_join",
-    "q_anti_join",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_limit",
-    "q_topk",
-    "q_window_rank",
-    "q_window_running",
-    "q_sessionize",
-    "q_tumbling_window",
-    "q_asof_join",
-    "q_salted_agg",
-    "q_partition_pruning",
-    "q_rollup",
-    "q_cube",
-    "q_json_extract",
-    "q_date_parts",
-    "q_window_leadlag",
-    "q_range_join",
-    "q_ml_features",
-    "q_rf_regression",
-    "q_gbt_regression",
-    "q_random_split",
-    "q_ols_regression",
+    # zero backlog: 50 least-recently-graded anchors
+    # (canonical_order tie-break); see the r10 WINDOW note above
+    "q_model_selection",
+    "q_rmse",
+    "q_minhash_neardup",
+    "q_star_join",
+    "q_exact_dedup",
+    "q_minhash_native",
+    "q_simhash_buckets",
+    "q_llm_pipeline",
+    "q_ngram_jaccard",
+    "q_fuzzy_dedup_levenshtein",
+    "q_dedup_clusters",
+    "q_segment_dedup",
+    "q_decontaminate",
+    "q_cosine_topk",
+    "q_embedding_neardup",
+    "q_ivf_topk",
+    "q_cosine_topk_batch",
+    "q_embedding_stats",
+    "q_ivf_kmeans_topk",
+    "q_brp_lsh_neighbors",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_hash_split",
+    "q_stratified_sample",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_tfidf_topterms",
+    "q_array_functions",
+    "q_token_packing",
+    "q_domain_mix",
+    "q_training_data_prep",
+    "q_multimodal_meta",
+    "q_sql_tpch_q3",
+    "q_sql_tpch_q6",
+    "q_sql_tpch_q14",
+    "q_sql_correlated_subquery",
+    "q_sql_window_ntile",
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q18",
+    "q_sql_grouping_sets",
+    "q_stream_tumbling",
+    "q_stream_stateful_sessions",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_stream_event_window",
+    "q_sliding_window",
 )
 
 
