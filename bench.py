@@ -10,9 +10,9 @@ physical plan (scan → shuffle → agg) with zero sink cost, so the number is
 the engine's throughput, not the collector's.
 
 COVERAGE RULE (VERDICT r5 directive #4): every registered batch query is
-in HEADLINE — 332 of 349. The 17 exclusions, by criterion:
+in HEADLINE — 339 of 357. The 18 exclusions, by criterion:
 
-* the 11 ``q_stream_*`` queries — their wall-clock is micro-batch trigger
+* the 12 ``q_stream_*`` queries — their wall-clock is micro-batch trigger
   / checkpoint latency on a synthetic rate source, not engine throughput
   over the fixtures, and ``availableNow`` termination jitters seconds per
   run; their correctness is gated by the oracle path and
@@ -471,6 +471,16 @@ HEADLINE = (
     "q_random_split",
     "q_ols_regression",
     "q_rmse",
+    # round-10 reopening wave (operators/staged_r10.py): the 7 batch
+    # queries; q_stream_watermark_audit is excluded by the streaming
+    # criterion like its 11 siblings
+    "q_approx_percentiles_audit",
+    "q_hll_error_audit",
+    "q_time_weighted_avg",
+    "q_minmax_downsample",
+    "q_join_skew_report",
+    "q_weighted_quantile",
+    "q_text_scan",
 )
 
 
@@ -566,7 +576,7 @@ def main() -> None:
     for _pass in range(2):
         for qi, name in enumerate(HEADLINE):
             # periodic pressure reset WITHIN each pass (VERDICT r8 #8):
-            # ContextCleaner starves between GCs, and over a 332-query
+            # ContextCleaner starves between GCs, and over a 339-query
             # pass the accumulated broadcast/shuffle state degrades the
             # later queries (the r9 in-session run measured
             # q_local_clustering 8.8 s shared vs 5.3 s isolated on
@@ -574,6 +584,12 @@ def main() -> None:
             # fully restores a degraded canary (r7 experiment), costs
             # ~0.1-0.5 s, and runs UNTIMED between queries — ~6 per
             # pass bounds drift at ~3 s overhead.
+            # LOCAL-MODE ASSUMPTION (ADVICE r9): System.gc() reaches
+            # the one JVM that is both driver and executors here; on a
+            # real cluster it would touch only the driver, and this
+            # pressure-reset mechanism would need an executor-side
+            # barrier (e.g. sc.parallelize over slots calling gc) —
+            # the harness is explicitly a local-mode measurement rig.
             if qi and qi % 50 == 0:
                 spark.sparkContext._jvm.System.gc()
             elapsed = time_query_once(spark, queries[name], sf_dir)

@@ -1,26 +1,16 @@
-"""STAGED for round 10 — implemented and oracle-tested, NOT registered.
+"""The round-10 reopening wave: eight REOPENING.md candidates, staged
+under the r6-r9 registration freeze and REGISTERED since r10.
 
-The registration freeze holds through the r9 grade (VERDICT r8 #5:
-"don't spend r9's window on anything but the drain; zero new
-registrations in r9"), so this module is deliberately NOT in
-``registry._OPERATOR_MODULES`` and contains NO ``@query`` calls —
-importing it registers nothing (``tests/test_staged_r10.py`` pins
-that). It stages the top REOPENING.md candidates with the full house
-standard — DuckDB oracle SQL, integer micro-unit quantization,
-scale-shape docstrings — so the r10 reopening is a mechanical flip:
-
-    1. append ``"spark_ml_spark.operators.staged_r10"`` to
-       ``registry._OPERATOR_MODULES``;
-    2. apply the decorator loop at the bottom of this docstring::
-
-           from spark_ml_spark.registry import query
-           for _n, (_fn, _sql) in STAGED.items():
-               query(_n, _sql)(_fn)
-
-       (inside this module, guarded by module import — see the r10
-       note at the bottom of the file);
-    3. re-run ``tools/rotate_window.py`` (the new names become the
-       never-graded backlog and lead the next window).
+History: the freeze (VERDICT r8 #5) barred new registrations until a
+clean r9 grade drained the never-graded backlog. This module therefore
+spent r9 as a staging area — fully implemented to the house standard
+(DuckDB oracle SQL, integer micro-unit quantization, scale-shape
+docstrings), oracle-green at three fixture scales, but deliberately
+absent from ``registry._OPERATOR_MODULES``. CORRECTNESS_r09 landed
+clean (backlog 0), so r10 flipped registration on: the module joined
+``_OPERATOR_MODULES`` and the ``STAGED`` loop at the bottom registers
+every entry (349 -> 357). ``tests/test_staged_r10.py`` keeps the
+pre-flip oracle-differential tests AND now pins the registered state.
 
 The first two entries retire two of the 14 rows-only queries' caveats
 (VERDICT r8 #6): each turns an engine-specific sketch into an
@@ -50,8 +40,14 @@ _PCT_ACCURACY = 1000
 _PCT_PPM = (250000, 500000, 750000, 950000)
 
 #: approx_count_distinct relative standard deviation; the audit checks
-#: the 3-sigma bound |approx - exact| <= 3 * rsd * exact
+#: the 5-sigma bound |approx - exact| <= 5 * rsd * exact. rsd is a
+#: STANDARD DEVIATION, not a hard guarantee (unlike approx_percentile's
+#: rank bound): at 3 sigma a legitimately unlucky estimate fails
+#: ~0.3%/column/round on driver-regenerated fixtures with no code bug;
+#: at 5 sigma the flake probability is ~6e-7/column — negligible over
+#: the build's lifetime (ADVICE r9)
 _HLL_RSD = 0.02
+_HLL_SIGMA = 5.0
 _HLL_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
 
 _WQ_PPM = (250000, 500000, 750000, 900000, 990000)
@@ -94,7 +90,7 @@ def q_approx_percentiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).select("n", F.col("z.pct_ppm").alias("pct_ppm"), F.col("z.v").alias("v"))
-    eps = 1.0 / _PCT_ACCURACY
+    eps_ppm = 1_000_000 // _PCT_ACCURACY
     counts = (
         pc.join(F.broadcast(probes))
         .groupBy("pct_ppm", "n")
@@ -103,18 +99,25 @@ def q_approx_percentiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("pc") < F.col("v")).cast("bigint")).alias("c_lt"),
         )
     )
-    p_frac = F.col("pct_ppm").cast("double") / F.lit(1_000_000.0)
-    n_d = F.col("n").cast("double")
     # the published guarantee (ApproximatePercentile): rank(v) lies in
     # the closed integer interval [floor((p-eps)*N), ceil((p+eps)*N)].
     # v occupies ranks (c_lt, c_le], which intersects it iff
     # c_le >= floor(lo) AND c_lt < ceil(hi) — STRICT on the upper edge:
     # c_lt == ceil(hi) puts v's entire rank range above the bound
-    # (self-review r9: the earlier <= admitted a one-rank miss)
-    within = (
-        (F.col("c_le") >= F.floor((p_frac - F.lit(eps)) * n_d))
-        & (F.col("c_lt") < F.ceil((p_frac + F.lit(eps)) * n_d))
+    # (self-review r9: the earlier <= admitted a one-rank miss).
+    # Both edges in EXACT bigint arithmetic via ppm-scaled DIV — a
+    # double round of (p±eps)*N landing 1 ulp across an integer could
+    # shift an edge by one rank and fail a graded round on the boundary
+    # (ADVICE r9). floor((p-eps)*N) = (pct_ppm-eps_ppm)*N DIV 1e6 (both
+    # factors non-negative); ceil((p+eps)*N) = ((pct_ppm+eps_ppm)*N +
+    # 999999) DIV 1e6. Products stay inside int64 to N ~ 9e12 rows.
+    lo_rank = F.expr(
+        f"((pct_ppm - {eps_ppm}) * n) div 1000000"
     )
+    hi_rank = F.expr(
+        f"((pct_ppm + {eps_ppm}) * n + 999999) div 1000000"
+    )
+    within = (F.col("c_le") >= lo_rank) & (F.col("c_lt") < hi_rank)
     return counts.select(
         "pct_ppm", "n", within.alias("within_bound")
     ).orderBy("pct_ppm")
@@ -133,9 +136,11 @@ def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-error-bound audit for ``approx_count_distinct``
     (REOPENING #2): per key column, the exact distinct count (which the
     oracle co-verifies) and whether the HLL++ estimate at rsd=0.02 sits
-    within the 3-sigma bound |approx - exact| <= 3*rsd*exact. A hash
-    match proves the sketch met its published accuracy, de-caveating
-    the rows-only ``q_approx_count_distinct`` twin.
+    within the 5-sigma bound |approx - exact| <= 5*rsd*exact (5 rather
+    than 3 because rsd is statistical, not a guarantee — see
+    ``_HLL_SIGMA``; ADVICE r9). A hash match proves the sketch met its
+    published accuracy, de-caveating the rows-only
+    ``q_approx_count_distinct`` twin.
 
     Scale shape: ONE pass computing all six aggregates (3 exact
     distincts expand to expand-style partial aggs, 3 HLL sketches are
@@ -157,23 +162,23 @@ def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col(f"a_{c}").cast("double")
                             - F.col(f"e_{c}").cast("double")
                         )
-                        <= F.lit(3.0 * _HLL_RSD)
+                        <= F.lit(_HLL_SIGMA * _HLL_RSD)
                         * F.col(f"e_{c}").cast("double")
-                    ).alias("within_3sigma"),
+                    ).alias("within_5sigma"),
                 )
                 for c in _HLL_COLS
             ])
         ).alias("s")
     )
     return rows.select(
-        "s.key_column", "s.exact_distinct", "s.within_3sigma"
+        "s.key_column", "s.exact_distinct", "s.within_5sigma"
     ).orderBy("key_column")
 
 
 ORACLE_HLL_ERROR_AUDIT = "\nUNION ALL\n".join(
     f"SELECT '{c}' AS key_column,"
     f" CAST(count(DISTINCT {c}) AS BIGINT) AS exact_distinct,"
-    f" TRUE AS within_3sigma FROM lineitem"
+    f" TRUE AS within_5sigma FROM lineitem"
     for c in _HLL_COLS
 ) + "\nORDER BY key_column"
 
@@ -680,14 +685,11 @@ def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: name -> (query fn, oracle SQL). r10 registration = append this module
-#: to ``registry._OPERATOR_MODULES`` and apply::
-#:
-#:     for _n, (_fn, _sql) in STAGED.items():
-#:         query(_n, _sql)(_fn)
-#:
-#: at the bottom of this module (NOT before the r9 grade lands — the
-#: freeze-guard test pins that importing this module registers nothing).
+#: name -> (query fn, oracle SQL). Registered by the loop at the bottom
+#: of this module since the r10 reopening (the r9 grade drained the
+#: backlog, ending the freeze — VERDICT r9 #1); the dict stays the
+#: single source of truth the registration loop and the pre-flip
+#: oracle-differential tests both read.
 STAGED = {
     "q_approx_percentiles_audit": (
         q_approx_percentiles_audit, ORACLE_APPROX_PERCENTILES_AUDIT),
@@ -697,7 +699,15 @@ STAGED = {
     "q_join_skew_report": (q_join_skew_report, ORACLE_JOIN_SKEW_REPORT),
     "q_weighted_quantile": (q_weighted_quantile, ORACLE_WEIGHTED_QUANTILE),
     "q_text_scan": (q_text_scan, ORACLE_TEXT_SCAN),
-    # rows-only by design (micro-batch emission timing) — r10 registers
-    # it WITHOUT oracle SQL, joining the documented 14-strong cohort
+    # rows-only by design (micro-batch emission timing) — registered
+    # WITHOUT oracle SQL, joining the documented rows-only cohort
     "q_stream_watermark_audit": (q_stream_watermark_audit, None),
 }
+
+# r10 reopening registration (VERDICT r9 #1): 349 -> 357. Import-time,
+# like every other operator module; the names join the never-graded
+# backlog and therefore lead the rotated r10 window.
+from spark_ml_spark.registry import query  # noqa: E402
+
+for _n, (_fn, _sql) in STAGED.items():
+    query(_n, _sql)(_fn)

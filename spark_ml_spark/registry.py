@@ -82,6 +82,9 @@ _OPERATOR_MODULES = (
     "spark_ml_spark.operators.profiles",
     "spark_ml_spark.operators.divergence",
     "spark_ml_spark.operators.product_analytics",
+    # r10 reopening (VERDICT r9 #1): the eight REOPENING.md candidates,
+    # staged behind the r6-r9 registration freeze, flip on here
+    "spark_ml_spark.operators.staged_r10",
 )
 
 
@@ -170,21 +173,17 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r10 WINDOW (interim rotation, pre-reopening): CORRECTNESS_r09.json
-#: landed 45 hash-green + 5 clean rows-only with **zero failures**,
-#: draining the backlog to **0** — every one of the 349 registered
-#: queries now has a driver row (335 hash-green + 14 rows-only by
-#: design). The backlog is always recomputed programmatically as
+#: r10 WINDOW (the reopening): CORRECTNESS_r09.json landed 45
+#: hash-green + 5 clean rows-only with **zero failures**, draining the
+#: backlog to 0 and ending the r6-r9 registration freeze, so r10
+#: registered the eight staged ``operators/staged_r10.py`` queries
+#: (349 -> 357). The backlog is always recomputed programmatically as
 #: ``registered − union(CORRECTNESS_r*.json keys)``
 #: (``tests/test_registry_window.py`` enforces this; the glob is
-#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting).
-#:
-#: This is the pure-anchor regime head: 50 least-recently-graded
-#: anchors (r1-era ML/dedup/similarity core, last graded in
-#: CORRECTNESS_r0{1,2}.json). It is INTERIM: the r10 reopening
-#: (VERDICT r9 #1) registers the eight ``operators/staged_r10.py``
-#: queries, which join the never-graded backlog and lead the re-rotated
-#: final r10 window (see the module docstring and REOPENING.md).
+#: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting), so
+#: the eight new names ARE the backlog and lead this window; the
+#: remaining 42 slots are the least-recently-graded anchors (r1/r2-era
+#: ML/dedup/similarity core, last graded in CORRECTNESS_r0{1,2}.json).
 #:
 #: Generated by ``tools/rotate_window.py`` (mechanical paste of
 #: :func:`proposed_window`), pre-audited through ``tools/driver_check.py``
@@ -192,8 +191,16 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: tuple to ``proposed_window(50)`` exactly, in both the backlog≥50 and
 #: the anchor regimes.
 _GRADED_WINDOW = (
-    # zero backlog: 50 least-recently-graded anchors
-    # (canonical_order tie-break); see the r10 WINDOW note above
+    # 8-query never-graded backlog (the r10 reopening wave), then 42
+    # least-recently-graded anchors; see the r10 WINDOW note above
+    "q_approx_percentiles_audit",
+    "q_hll_error_audit",
+    "q_time_weighted_avg",
+    "q_minmax_downsample",
+    "q_join_skew_report",
+    "q_weighted_quantile",
+    "q_text_scan",
+    "q_stream_watermark_audit",
     "q_model_selection",
     "q_rmse",
     "q_minhash_neardup",
@@ -236,14 +243,6 @@ _GRADED_WINDOW = (
     "q_sql_window_ntile",
     "q_sql_tpch_q1",
     "q_sql_tpch_q5",
-    "q_sql_tpch_q18",
-    "q_sql_grouping_sets",
-    "q_stream_tumbling",
-    "q_stream_stateful_sessions",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    "q_stream_event_window",
-    "q_sliding_window",
 )
 
 

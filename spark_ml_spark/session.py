@@ -5,7 +5,10 @@ The reference hardcodes ``local[2]`` / 4 GB / 64 min-partitions
 Catalyst + AQE: adaptive shuffle-partition coalescing, skew-join handling,
 broadcast-join autodetection, and Arrow for any Python-side batch exchange.
 On a real cluster only ``master`` and memory sizing change — the query code
-is identical.
+is identical. (One exception, in the measurement harness rather than the
+query code: ``bench.py``'s untimed ``System.gc()`` pressure resets reach
+executors only because local mode puts driver and executors in one JVM —
+see the local-mode note there; ADVICE r9.)
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ def get_spark(app_name: str = "spark_ml_spark", cpus: str | int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        # Long shared sessions (the 332-query bench, the 349-query driver
+        # Long shared sessions (the 339-query bench, the 357-query driver
         # mirror, a real long-running cluster driver) accumulate
         # weakly-referenced broadcast/shuffle/RDD state that the
         # ContextCleaner only reclaims when a GC actually runs — and with

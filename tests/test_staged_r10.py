@@ -1,11 +1,12 @@
-"""Oracle-differential tests for the STAGED r10 candidates
+"""Oracle-differential tests for the r10 reopening wave
 (``operators/staged_r10.py``) — the same strict compare the driver
 applies (column names + order-insensitive value hash via
-``tools.driver_check.value_hash``), run BEFORE registration so the r10
-reopening flips on code that is already driver-green by construction.
+``tools.driver_check.value_hash``). Written BEFORE registration (r9
+freeze) so the reopening flipped on code already driver-green by
+construction; kept after it as the module's regression suite.
 
-Also pins the freeze guarantee: importing the staged module must NOT
-register anything (``len(queries()) == 349`` until r10 flips it on).
+Also pins the post-reopening registry state: 357 registered with all
+eight STAGED names present (the r9 freeze-guard inverted).
 """
 
 from __future__ import annotations
@@ -24,13 +25,18 @@ from spark_ml_spark.operators.staged_r10 import STAGED  # noqa: E402
 from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
 
 
-def test_staged_module_registers_nothing():
-    # the r9 freeze guard: this module stages code for r10 — importing
-    # it (as this test file just did) must leave the registry at the
-    # frozen 349 with none of the staged names present
+def test_staged_module_registered_in_r10():
+    # the r10 reopening guard (inverts the r9 freeze guard): the module
+    # is in _OPERATOR_MODULES and its registration loop ran, so the
+    # registry holds exactly 349 + 8 with every staged name present
     qs, _ = collect()
-    assert len(qs) == 349
-    assert not set(STAGED) & set(QUERIES)
+    assert len(qs) == 357
+    assert set(STAGED) <= set(QUERIES)
+    # and the oracle wiring matches the STAGED source of truth: the one
+    # rows-only entry has no oracle, the other seven do
+    _, oracles = collect()
+    for n, (_fn, sql) in STAGED.items():
+        assert (n in oracles) == (sql is not None)
 
 
 @pytest.mark.parametrize(
@@ -102,4 +108,4 @@ def test_audits_report_sketches_within_bounds(spark, sf_dir):
     pct = STAGED["q_approx_percentiles_audit"][0](spark, sf_dir).collect()
     assert len(pct) == 4 and all(r.within_bound for r in pct)
     hll = STAGED["q_hll_error_audit"][0](spark, sf_dir).collect()
-    assert len(hll) == 3 and all(r.within_3sigma for r in hll)
+    assert len(hll) == 3 and all(r.within_5sigma for r in hll)
