@@ -142,36 +142,37 @@ def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     published accuracy, de-caveating the rows-only
     ``q_approx_count_distinct`` twin.
 
-    Scale shape: ONE pass computing all six aggregates (3 exact
-    distincts expand to expand-style partial aggs, 3 HLL sketches are
-    map-side mergeable); output is 3 rows."""
+    Scale shape: one DISTINCT-first branch per column (a map-side-
+    combined dedup shuffle of ~|distinct| rows, then a 1-row agg where
+    exact = count(*) and the HLL runs over the deduped values — HLL is
+    duplicate-insensitive, so its estimate is bit-identical to running
+    over the raw column), unioned into 3 rows. This shape replaced a
+    single 6-aggregate pass whose mixed per-column DISTINCTs forced a
+    3x Expand of the fact table through the hash aggregate (measured
+    5.2s vs ~1s at sf0.1) — the distinct-first branches shuffle only
+    distinct values and each scan prunes to one column."""
     li = load(spark, sf_dir, "lineitem")
-    aggs = []
+    parts = []
     for c in _HLL_COLS:
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"e_{c}"))
-        aggs.append(F.approx_count_distinct(c, _HLL_RSD).alias(f"a_{c}"))
-    one = li.agg(*aggs)
-    rows = one.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("key_column"),
-                    F.col(f"e_{c}").alias("exact_distinct"),
-                    (
-                        F.abs(
-                            F.col(f"a_{c}").cast("double")
-                            - F.col(f"e_{c}").cast("double")
-                        )
-                        <= F.lit(_HLL_SIGMA * _HLL_RSD)
-                        * F.col(f"e_{c}").cast("double")
-                    ).alias("within_5sigma"),
-                )
-                for c in _HLL_COLS
-            ])
-        ).alias("s")
-    )
+        d = li.select(F.col(c).alias("v")).distinct()
+        parts.append(
+            d.agg(
+                F.count(F.lit(1)).cast("bigint").alias("exact_distinct"),
+                F.approx_count_distinct("v", _HLL_RSD).alias("approx"),
+            ).select(F.lit(c).alias("key_column"), "exact_distinct", "approx")
+        )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.union(p)
     return rows.select(
-        "s.key_column", "s.exact_distinct", "s.within_5sigma"
+        "key_column",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx").cast("double")
+                  - F.col("exact_distinct").cast("double"))
+            <= F.lit(_HLL_SIGMA * _HLL_RSD)
+            * F.col("exact_distinct").cast("double")
+        ).alias("within_5sigma"),
     ).orderBy("key_column")
 
 
@@ -592,6 +593,55 @@ FROM documents
 """
 
 
+def _disorder_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engineered-disorder replay source shared by the watermark
+    audits (append-mode here, update-mode staged for r11): the events
+    table lands as three single-file micro-batches — middle third
+    first, newest third second, OLDEST third LAST — so a watermark
+    advanced by batch 2 has already passed batch 3's rows. The layout
+    is cached under ``.cache/`` keyed by ``fixture_key`` (content
+    fingerprint — the driver regenerates fixtures between rounds) and
+    replayed via ``maxFilesPerTrigger=1`` in modification-time order,
+    which the sequential writes guarantee matches batch order."""
+    import os
+    import shutil
+
+    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = fixture_key(sf_dir, "events")
+    out = os.path.join(_CACHE_DIR, f"events_disorder_{key}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        ev = load(spark, sf_dir, "events").select("ts", "event_id")
+        b = ev.select(
+            F.percentile_approx("ts", 1 / 3).alias("t1"),
+            F.percentile_approx("ts", 2 / 3).alias("t2"),
+        ).first()
+        # replay order: middle, newest, OLDEST-LAST (the late arrivals)
+        parts = [
+            ev.filter((F.col("ts") > b.t1) & (F.col("ts") <= b.t2)),
+            ev.filter(F.col("ts") > b.t2),
+            ev.filter(F.col("ts") <= b.t1),
+        ]
+        os.makedirs(out, exist_ok=True)
+        for i, p in enumerate(parts):
+            tmp = os.path.join(out, f"tmp{i}")
+            p.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(tmp, src),
+                      os.path.join(out, f"batch_{i}.parquet"))
+            # drop the writer scaffolding (_SUCCESS, .crc): litter, and a
+            # hazard if the glob filter ever loosens (self-review r9)
+            shutil.rmtree(tmp)
+        open(os.path.join(out, "_DONE"), "w").close()
+    return (
+        spark.readStream.schema("ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(out)
+    )
+
+
 def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data accounting (REOPENING #8, rows-only BY
     DESIGN — emission/finalization timing is engine-specific micro-batch
@@ -615,47 +665,9 @@ def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is per-hour aggregates only. The 3-file replay layout is cached
     under ``.cache/`` keyed by ``fixture_key`` (content fingerprint —
     the driver regenerates fixtures between rounds)."""
-    import os
-
-    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
     from spark_ml_spark.streaming.stream_queries import _drain
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = fixture_key(sf_dir, "events")
-    out = os.path.join(_CACHE_DIR, f"events_disorder_{key}")
-    if not os.path.exists(os.path.join(out, "_DONE")):
-        ev = load(spark, sf_dir, "events").select("ts", "event_id")
-        b = ev.select(
-            F.percentile_approx("ts", 1 / 3).alias("t1"),
-            F.percentile_approx("ts", 2 / 3).alias("t2"),
-        ).first()
-        # replay order: middle, newest, OLDEST-LAST (the late arrivals)
-        parts = [
-            ev.filter((F.col("ts") > b.t1) & (F.col("ts") <= b.t2)),
-            ev.filter(F.col("ts") > b.t2),
-            ev.filter(F.col("ts") <= b.t1),
-        ]
-        import shutil
-
-        os.makedirs(out, exist_ok=True)
-        for i, p in enumerate(parts):
-            tmp = os.path.join(out, f"tmp{i}")
-            p.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            # the file source replays in modification-time order, which
-            # sequential writes guarantee matches batch order
-            os.rename(os.path.join(tmp, src),
-                      os.path.join(out, f"batch_{i}.parquet"))
-            # drop the writer scaffolding (_SUCCESS, .crc): litter, and a
-            # hazard if the glob filter ever loosens (self-review r9)
-            shutil.rmtree(tmp)
-        open(os.path.join(out, "_DONE"), "w").close()
-    stream = (
-        spark.readStream.schema("ts timestamp, event_id long")
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "batch_*.parquet")
-        .parquet(out)
-    )
+    stream = _disorder_replay_stream(spark, sf_dir)
     emitted = _drain(
         stream.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
