@@ -495,9 +495,13 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``api.global_prefix_sum`` — the two-phase range-partition prefix
     sum extracted from this query's first draft (self-review r9: no
     second inline copy of ``global_rank``'s offset machinery) — so no
-    single-partition window anywhere. The threshold compare runs in
-    DECIMAL (cumweight*1e6 reaches ~1e21 at the 100 TB target, past
-    int64)."""
+    single-partition window anywhere. The probe lookup filters the
+    <=|probes| CROSSING rows first (cumulative weight is strictly
+    increasing over distinct values, so each probe has exactly one)
+    and explodes the probe vector over those survivors only — not the
+    whole cumulative table (self-review r10). The threshold compare
+    runs in DECIMAL (cumweight*1e6 reaches ~1e21 at the 100 TB
+    target, past int64)."""
     from spark_ml_spark.api import global_prefix_sum
 
     byv = (
@@ -512,20 +516,43 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = global_prefix_sum(
         byv, ["v"], "w", cum_col="cumw", total_col="tot"
-    ).select("v", "cumw", "tot")
-    probes = F.array(*[F.lit(p).cast("bigint") for p in _WQ_PPM])
-    hit = cum.select(
-        "v", "cumw", "tot", F.explode(probes).alias("pct_ppm")
+    ).select("v", "w", "cumw", "tot")
+
+    def crosses(p):
+        # the unique crossing row for probe p: cumw is STRICTLY
+        # increasing over distinct v (quantity >= 1), so "min v with
+        # cumw >= p*tot" is exactly the row whose exclusive prefix
+        # (cumw - w) is still below the threshold
+        c = F.col("cumw").cast("decimal(19,0)") * F.lit(1_000_000)
+        prev = (F.col("cumw") - F.col("w")).cast("decimal(19,0)") \
+            * F.lit(1_000_000)
+        thr = F.lit(int(p)).cast("decimal(19,0)") \
+            * F.col("tot").cast("decimal(19,0)")
+        return (c >= thr) & (prev < thr)
+
+    # filter the <=|probes| crossing rows FIRST (whole-stage-codegen
+    # predicate), THEN explode the probe vector over the survivors —
+    # the first draft exploded the full cumulative table |probes|x and
+    # re-aggregated millions of rows to find the same <=5 minima
+    # (self-review r10)
+    any_cross = crosses(_WQ_PPM[0])
+    for p in _WQ_PPM[1:]:
+        any_cross = any_cross | crosses(p)
+    probes = F.array(*[F.lit(int(p)).cast("bigint") for p in _WQ_PPM])
+    hit = cum.where(any_cross).select(
+        "v", "w", "cumw", "tot", F.explode(probes).alias("pct_ppm")
     ).where(
-        F.col("cumw").cast("decimal(19,0)") * F.lit(1_000_000)
-        >= F.col("pct_ppm").cast("decimal(19,0)")
-        * F.col("tot").cast("decimal(19,0)")
+        (F.col("cumw").cast("decimal(19,0)") * F.lit(1_000_000)
+         >= F.col("pct_ppm").cast("decimal(19,0)")
+         * F.col("tot").cast("decimal(19,0)"))
+        & ((F.col("cumw") - F.col("w")).cast("decimal(19,0)")
+           * F.lit(1_000_000)
+           < F.col("pct_ppm").cast("decimal(19,0)")
+           * F.col("tot").cast("decimal(19,0)"))
     )
-    return (
-        hit.groupBy("pct_ppm")
-        .agg(F.min("v").cast("bigint").alias("value_cents"))
-        .orderBy("pct_ppm")
-    )
+    return hit.select(
+        "pct_ppm", F.col("v").cast("bigint").alias("value_cents")
+    ).orderBy("pct_ppm")
 
 
 ORACLE_WEIGHTED_QUANTILE = rf"""
