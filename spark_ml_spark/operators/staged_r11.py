@@ -415,21 +415,22 @@ def _mmr_cos_micro_spark(a: str, b: str) -> str:
 
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-rank (REOPENING r11 #6): the top
-    {n} cosine candidates of query vector vec_id=0 (the
-    ``q_cosine_topk`` shape) re-ranked by {k} greedy MMR steps —
-    each step selects argmax of 7*relevance − 3*max-similarity-to-
-    selected (λ=0.7 in tenths), ties to the smallest vec_id. Greedy
-    selection is inherently sequential, so after the DISTRIBUTED
-    candidate generation (scan + TakeOrderedAndProject) the {n}-row
-    pool folds into one row and the whole greedy loop runs as a single
-    Catalyst ``aggregate`` over ``sequence(1,{k})`` — JVM higher-order
-    functions, no driver loop, no collect, no lineage growth. All
-    similarities are dots of unit-normalized double vectors quantized
-    to micro ints, so the oracle's recursive CTE reproduces the greedy
-    choice EXACTLY (same integers, same tie-break).
+    ``_MMR_N`` (24) cosine candidates of query vector vec_id=0 (the
+    ``q_cosine_topk`` shape) re-ranked by ``_MMR_K`` (8) greedy MMR
+    steps — each step selects argmax of 7*relevance −
+    3*max-similarity-to-selected (λ=0.7 in tenths), ties to the
+    smallest vec_id. Greedy selection is inherently sequential, so
+    after the DISTRIBUTED candidate generation (scan +
+    TakeOrderedAndProject) the 24-row pool folds into one row and the
+    whole greedy loop runs as a single Catalyst ``aggregate`` over
+    ``sequence(1,8)`` — JVM higher-order functions, no driver loop, no
+    collect, no lineage growth. All similarities are dots of
+    unit-normalized double vectors quantized to micro ints, so the
+    oracle's recursive CTE reproduces the greedy choice EXACTLY (same
+    integers, same tie-break).
 
-    Scale shape: one distributed scan + top-{n} (the only data-sized
-    stage), then O({k}·{n}²·dim) arithmetic on ONE row — constant work
+    Scale shape: one distributed scan + top-24 (the only data-sized
+    stage), then O(k·n²·dim) arithmetic on ONE row — constant work
     regardless of corpus size. The argmax-by-struct trick (max of
     struct(score, -vec_id)) keeps the tie-break inside the fold."""
     emb = load(spark, sf_dir, "embeddings").select(
