@@ -706,6 +706,214 @@ ORDER BY o.o_custkey
 """
 
 
+# --------------------------------------------------------------------
+# REOPENING r11 #9: incremental-view-maintenance delta-apply audit
+# --------------------------------------------------------------------
+
+def q_rollup_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance audit (REOPENING r11 #9): a
+    deterministic delta batch — every 10th event_id PLUS the entire
+    final day of the time range — applies to a materialized daily
+    rollup of the remaining events via merge arithmetic (count/sum
+    addition, null-skipping least/greatest on a full-outer join), and
+    each merged row is emitted with ``invariant_ok`` = (merged ==
+    recomputed-from-everything). The delta shape exercises BOTH merge
+    paths: existing keys absorb a 10% increment, and the final-day
+    keys exist ONLY in the delta (the insertion path a MERGE must get
+    right). This is the contract that makes nightly rollup
+    maintenance O(delta), not O(history), at 100 TB.
+
+    Scale shape: three day-granular aggregates (base, delta, recompute
+    — each map-side combined; base and delta partition one scan by a
+    row-local predicate) plus one full-outer join and one
+    reconciliation join, both on the day-granular key space — bounded
+    by |event_type|·|days| regardless of corpus size. The final-day
+    cut is a 1-row max broadcast. Both engines' least/greatest skip
+    NULLs, so the outer-join merge needs no CASE ladder."""
+    ev0 = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint").alias("v_us"),
+        "event_id",
+    )
+    last_day = ev0.agg(F.max("day_us").alias("last_day_us"))
+    ev = ev0.crossJoin(F.broadcast(last_day))
+    is_delta = (F.col("event_id") % 10 == 0) | (
+        F.col("day_us") == F.col("last_day_us")
+    )
+
+    def roll(df, p):
+        return df.groupBy("event_type", "day_us").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{p}n"),
+            F.sum("v_us").cast("bigint").alias(f"{p}sv"),
+            F.min("v_us").alias(f"{p}mn"),
+            F.max("v_us").alias(f"{p}mx"),
+        )
+
+    base = roll(ev.where(~is_delta), "b_")
+    delta = roll(ev.where(is_delta), "d_")
+    merged = base.join(delta, ["event_type", "day_us"], "full_outer").select(
+        "event_type", "day_us",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("bigint").alias("n_events"),
+        (F.coalesce("b_sv", F.lit(0)) + F.coalesce("d_sv", F.lit(0)))
+        .cast("bigint").alias("sum_v_us"),
+        F.least("b_mn", "d_mn").alias("min_v_us"),
+        F.greatest("b_mx", "d_mx").alias("max_v_us"),
+        F.coalesce("d_n", F.lit(0)).cast("bigint").alias("n_delta"),
+    )
+    recomputed = roll(ev, "r_")
+    ok = (
+        (F.col("n_events") == F.col("r_n"))
+        & (F.col("sum_v_us") == F.col("r_sv"))
+        & (F.col("min_v_us") == F.col("r_mn"))
+        & (F.col("max_v_us") == F.col("r_mx"))
+    )
+    return (
+        merged.join(recomputed, ["event_type", "day_us"])
+        .select(
+            "event_type", "day_us", "n_events", "sum_v_us",
+            "min_v_us", "max_v_us", "n_delta", ok.alias("invariant_ok"),
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+ORACLE_ROLLUP_DELTA_APPLY = rf"""
+WITH ev AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_us,
+         event_id,
+         (SELECT max(epoch_us(date_trunc('day', ts))) FROM events)
+           AS last_day_us
+  FROM events
+),
+base AS (
+  SELECT event_type, day_us,
+         CAST(count(*) AS BIGINT) AS b_n, CAST(sum(v_us) AS BIGINT) AS b_sv,
+         min(v_us) AS b_mn, max(v_us) AS b_mx
+  FROM ev WHERE NOT (event_id % 10 = 0 OR day_us = last_day_us)
+  GROUP BY event_type, day_us
+),
+delta AS (
+  SELECT event_type, day_us,
+         CAST(count(*) AS BIGINT) AS d_n, CAST(sum(v_us) AS BIGINT) AS d_sv,
+         min(v_us) AS d_mn, max(v_us) AS d_mx
+  FROM ev WHERE event_id % 10 = 0 OR day_us = last_day_us
+  GROUP BY event_type, day_us
+),
+merged AS (
+  SELECT coalesce(b.event_type, d.event_type) AS event_type,
+         coalesce(b.day_us, d.day_us) AS day_us,
+         CAST(coalesce(b.b_n, 0) + coalesce(d.d_n, 0) AS BIGINT)
+           AS n_events,
+         CAST(coalesce(b.b_sv, 0) + coalesce(d.d_sv, 0) AS BIGINT)
+           AS sum_v_us,
+         least(b.b_mn, d.d_mn) AS min_v_us,
+         greatest(b.b_mx, d.d_mx) AS max_v_us,
+         CAST(coalesce(d.d_n, 0) AS BIGINT) AS n_delta
+  FROM base b FULL OUTER JOIN delta d
+    ON b.event_type = d.event_type AND b.day_us = d.day_us
+),
+rec AS (
+  SELECT event_type, day_us,
+         CAST(count(*) AS BIGINT) AS r_n, CAST(sum(v_us) AS BIGINT) AS r_sv,
+         min(v_us) AS r_mn, max(v_us) AS r_mx
+  FROM ev GROUP BY event_type, day_us
+)
+SELECT m.event_type, m.day_us, m.n_events, m.sum_v_us,
+       m.min_v_us, m.max_v_us, m.n_delta,
+       (m.n_events = r.r_n AND m.sum_v_us = r.r_sv
+        AND m.min_v_us = r.r_mn AND m.max_v_us = r.r_mx) AS invariant_ok
+FROM merged m JOIN rec r
+  ON m.event_type = r.event_type AND m.day_us = r.day_us
+ORDER BY m.event_type, m.day_us
+"""
+
+
+# --------------------------------------------------------------------
+# REOPENING r11 #10: ANN recall audit (rows-only by design)
+# --------------------------------------------------------------------
+
+#: recall@k parameters shared by the exact and approximate sides
+_ANN_K = 10
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit (REOPENING r11 #10, rows-only BY DESIGN — the
+    approximate side depends on MLlib's BRP-LSH hash internals no SQL
+    oracle can reproduce): recall@10 of the seeded
+    BucketedRandomProjectionLSH ``approxNearestNeighbors`` against the
+    exact euclidean top-10 for the standard query vector (vec_id=0) —
+    THE quality number an ANN deployment measures on a held-out query
+    set before trusting the approximate path at 100 TB. Emits one row:
+    k, both hit counts, the overlap, and recall in ppm; the id sets
+    travel as sorted arrays for inspection.
+
+    The single ``.first()`` fetches the one-row query VECTOR because
+    the MLlib kNN API takes a driver-side key (same sanctioned scalar
+    fetch as the replay-bounds ``.first()`` in the watermark audits —
+    not a data collect).
+
+    Scale shape: the exact side is the ``q_cosine_topk`` shape
+    (broadcast query, one scan, TakeOrderedAndProject); the
+    approximate side probes hash buckets only. Invariants pinned in
+    ``tests/test_staged_r11.py``: overlap ≤ k, recall in [0, 1e6],
+    and the audit is deterministic under the fixed seed."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        array_to_vector(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("features"),
+    ).cache()
+    others = emb.where(F.col("vec_id") != 0)
+    qrow = emb.where(F.col("vec_id") == 0).select("features").first()
+    qvec = qrow["features"]
+
+    qdf = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = (
+        others.crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 as double), (p, q) -> p + q)"
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(_ANN_K)
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("exact_ids"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(others)
+    approx = (
+        model.approxNearestNeighbors(others, qvec, _ANN_K)
+        .select("vec_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("approx_ids"))
+    )
+    return exact.crossJoin(approx).select(
+        F.lit(_ANN_K).cast("bigint").alias("k"),
+        F.size("exact_ids").cast("bigint").alias("n_exact"),
+        F.size("approx_ids").cast("bigint").alias("n_approx"),
+        F.size(F.array_intersect("exact_ids", "approx_ids"))
+        .cast("bigint").alias("n_overlap"),
+        F.expr(
+            f"(1000000 * size(array_intersect(exact_ids, approx_ids)))"
+            f" div {_ANN_K}"
+        ).cast("bigint").alias("recall_ppm"),
+        "exact_ids",
+        "approx_ids",
+    )
+
+
 #: name -> (query fn, oracle SQL). r11 registration = append this module
 #: to ``registry._OPERATOR_MODULES`` and apply::
 #:
@@ -724,4 +932,8 @@ STAGED = {
     # registers it WITHOUT oracle SQL, joining the documented cohort
     "q_stream_update_mode_audit": (q_stream_update_mode_audit, None),
     "q_bitemporal_asof": (q_bitemporal_asof, ORACLE_BITEMPORAL_ASOF),
+    "q_rollup_delta_apply": (
+        q_rollup_delta_apply, ORACLE_ROLLUP_DELTA_APPLY),
+    # rows-only by design (MLlib BRP-LSH hash internals)
+    "q_ann_recall_audit": (q_ann_recall_audit, None),
 }

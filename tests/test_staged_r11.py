@@ -130,6 +130,33 @@ def test_update_mode_emits_at_least_append_mode(spark, sf_dir):
     assert app_seen <= upd_seen
 
 
+def test_rollup_delta_apply_exercises_both_merge_paths(spark, sf_dir):
+    rows = STAGED["q_rollup_delta_apply"][0](spark, sf_dir).collect()
+    assert rows
+    assert all(r.invariant_ok for r in rows)
+    # the increment path: some day absorbed a partial delta
+    assert any(0 < r.n_delta < r.n_events for r in rows)
+    # the insertion path: the engineered final-day keys exist ONLY in
+    # the delta, so their merged row is delta-entirely
+    assert any(r.n_delta == r.n_events > 0 for r in rows)
+
+
+def test_ann_recall_audit_invariants(spark, sf_dir):
+    rows = STAGED["q_ann_recall_audit"][0](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_exact == 10
+    assert 0 < r.n_approx <= 10
+    assert 0 <= r.n_overlap <= min(r.n_exact, r.n_approx)
+    assert r.recall_ppm == (1_000_000 * r.n_overlap) // 10
+    assert 0 not in set(r.exact_ids) | set(r.approx_ids), (
+        "the query vector must not be its own neighbour")
+    # seeded determinism: the audit is reproducible within a session
+    again = STAGED["q_ann_recall_audit"][0](spark, sf_dir).collect()[0]
+    assert (again.exact_ids, again.approx_ids) == (
+        r.exact_ids, r.approx_ids)
+
+
 def test_bitemporal_asof_winners_are_eligible(spark, sf_dir):
     rows = STAGED["q_bitemporal_asof"][0](spark, sf_dir).collect()
     assert rows
