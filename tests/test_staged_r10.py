@@ -109,3 +109,40 @@ def test_audits_report_sketches_within_bounds(spark, sf_dir):
     assert len(pct) == 4 and all(r.within_bound for r in pct)
     hll = STAGED["q_hll_error_audit"][0](spark, sf_dir).collect()
     assert len(hll) == 3 and all(r.within_5sigma for r in hll)
+
+
+def test_weighted_quantile_crossing_rule_equals_min_rule():
+    # the r10 probe rewrite rests on one identity: with cumulative
+    # weight strictly increasing over distinct values (w >= 1), "the
+    # row where cumw >= p*tot and (cumw - w) < p*tot" IS "min v with
+    # cumw >= p*tot" — and that crossing row is unique. Pin both
+    # property-style over arbitrary weight multisets in exact integers.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        ws=st.lists(
+            st.tuples(st.integers(0, 50), st.integers(1, 100)),
+            min_size=1, max_size=30,
+        ),
+        p_ppm=st.sampled_from((1, 250000, 500000, 750000, 990000, 1000000)),
+    )
+    def check(ws, p_ppm):
+        agg = {}
+        for v, w in ws:
+            agg[v] = agg.get(v, 0) + w
+        tot = sum(agg.values())
+        cum = 0
+        min_rule = cross_rule = None
+        for v in sorted(agg):
+            prev, cum = cum, cum + agg[v]
+            if min_rule is None and cum * 1_000_000 >= p_ppm * tot:
+                min_rule = v
+            if (cum * 1_000_000 >= p_ppm * tot
+                    and prev * 1_000_000 < p_ppm * tot):
+                assert cross_rule is None, "crossing row must be unique"
+                cross_rule = v
+        assert min_rule == cross_rule
+
+    check()
