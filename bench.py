@@ -10,16 +10,17 @@ physical plan (scan → shuffle → agg) with zero sink cost, so the number is
 the engine's throughput, not the collector's.
 
 COVERAGE RULE (VERDICT r5 directive #4): every registered batch query is
-in HEADLINE — 339 of 357. The 18 exclusions, by criterion:
+in HEADLINE — 346 of 366. The 20 exclusions, by criterion:
 
-* the 12 ``q_stream_*`` queries — their wall-clock is micro-batch trigger
+* the 13 ``q_stream_*`` queries — their wall-clock is micro-batch trigger
   / checkpoint latency on a synthetic rate source, not engine throughput
   over the fixtures, and ``availableNow`` termination jitters seconds per
   run; their correctness is gated by the oracle path and
   ``tests/test_streaming_multibatch.py`` instead.
-* the 6 MLlib estimator-fit demos (``q_ml_features``, ``q_rf_regression``,
+* the 7 MLlib estimator-fit demos (``q_ml_features``, ``q_rf_regression``,
   ``q_gbt_regression``, ``q_model_selection``, ``q_logreg_classify``,
-  ``q_brp_lsh_neighbors``) — iterative JVM solvers whose cost is the fit
+  ``q_brp_lsh_neighbors``, ``q_ann_recall_audit``) — iterative JVM
+  solvers whose cost is the fit
   itself (tree depth × iterations), not a data plan this repo authors;
   their shared feature-prep plan IS benched via ``q_random_split`` /
   ``q_ml_features``'s assembler twin ``q_ols_regression``. The two
@@ -481,6 +482,17 @@ HEADLINE = (
     "q_join_skew_report",
     "q_weighted_quantile",
     "q_text_scan",
+    # round-11 reopening wave (operators/staged_r11.py): the 7 batch
+    # queries; q_stream_update_mode_audit is excluded by the streaming
+    # criterion, q_ann_recall_audit by the MLlib estimator-fit criterion
+    # (BRP-LSH fit, like q_brp_lsh_neighbors)
+    "q_rollup_invariance",
+    "q_shuffle_hash_join",
+    "q_bfs_levels",
+    "q_point_in_polygon",
+    "q_mmr_diversify",
+    "q_bitemporal_asof",
+    "q_rollup_delta_apply",
 )
 
 

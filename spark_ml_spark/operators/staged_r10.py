@@ -154,7 +154,15 @@ def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     parts = []
     for c in _HLL_COLS:
-        d = li.select(F.col(c).alias("v")).distinct()
+        # NULL-equivalence with the oracle's count(DISTINCT c), which
+        # excludes NULLs — count(lit(1)) over distinct() would count a
+        # NULL key as one value if a fixture ever carried one
+        # (ADVICE r10 #2; safe today, lineitem keys are non-null)
+        d = (
+            li.select(F.col(c).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
         parts.append(
             d.agg(
                 F.count(F.lit(1)).cast("bigint").alias("exact_distinct"),

@@ -1,17 +1,15 @@
-"""STAGED for round 11 — implemented and oracle-tested, NOT registered.
+"""The ranked r11 REOPENING.md batch — staged in r10, REGISTERED in r11.
 
 The r10 reopening registered its eight staged queries (349 -> 357) and
 REOPENING.md's bounded-cadence policy caps registration at ~10 new
 queries per round so continuity anchors keep cycling through the graded
-window. This module therefore stages the ranked r11 REOPENING.md batch
-exactly the way ``staged_r10.py`` staged the r10 batch: fully
+window. This module staged the ranked r11 REOPENING.md batch through
+round 10 exactly the way ``staged_r10.py`` staged the r10 batch: fully
 implemented to house standard (DuckDB oracle SQL, integer micro-unit
-quantization, scale-shape docstrings), deliberately NOT in
-``registry._OPERATOR_MODULES`` and with NO ``@query`` calls —
-``tests/test_staged_r11.py`` pins that importing it registers nothing
-(``len(queries()) == 357``). r11 registration is the same mechanical
-flip documented in ``staged_r10.py``'s history: append the module to
-``_OPERATOR_MODULES``, apply the ``STAGED`` loop, re-rotate.
+quantization, scale-shape docstrings) but unregistered, with
+``tests/test_staged_r11.py`` pinning the 357 cadence guard. The r11
+flip (VERDICT r10 #1) made the registration loop at the bottom live:
+357 -> 366, and the guard test now pins the nine names as registered.
 
 The reference has none of these (``Data_transform.py`` passim); they
 extend the warehouse/graph/geo/ML-eval surface per REOPENING.md's r11
@@ -219,10 +217,17 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_part_edges``'s in-row pair generation) and persisted across the
     3 iterations; each iteration is one shuffle join of an id-only
     frontier against the edges plus one anti-join against the id-only
-    visited set. Plan depth is fixed at 3 (unrolled, like
-    ``q_pagerank``'s 3 steps) — no driver collect, no unbounded
-    lineage. The oracle's recursive CTE uses UNION (distinct) so its
-    per-level working set stays node-bounded rather than path-counted.
+    visited set. EVERY level's frontier is persisted too: each ``nxt``
+    feeds two consumers (the visited union AND the next level's join),
+    so without a per-level cache the whole prefix DAG re-executes once
+    per level — measured 12.4s → 3.0s isolated at sf0.1 when the r11
+    bench first exposed it (iterative-operator lesson: persist every
+    reused frontier, not just the invariant edge list; ``q_pagerank``
+    never hit this because its rank table feeds exactly one consumer
+    per step). Plan depth is fixed at 3 (unrolled) — no driver
+    collect, no unbounded lineage. The oracle's recursive CTE uses
+    UNION (distinct) so its per-level working set stays node-bounded
+    rather than path-counted.
 
     Cites ``Data_transform.py`` passim (no graph surface in the
     reference)."""
@@ -236,16 +241,21 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct()
         .where(F.col("node") % _BFS_SEED_MOD == 0)
     )
-    visited = seeds.select("node", F.lit(0).cast("bigint").alias("level"))
+    visited = seeds.select(
+        "node", F.lit(0).cast("bigint").alias("level")
+    ).persist()
     frontier = visited.select("node")
     out = visited
     for k in range(1, _BFS_K + 1):
+        # persist each level: nxt feeds BOTH the visited union and the
+        # next join — unpersisted, the prefix DAG re-executes per level
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(out.select("node"), "node", "left_anti")
             .select("node", F.lit(k).cast("bigint").alias("level"))
+            .persist()
         )
         out = out.union(nxt)
         frontier = nxt.select("node")
@@ -648,18 +658,23 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint") % _BT_DELAY_MOD
         ) * F.lit(1_000_000),
     )
+    # the trailing ungrouped min() makes the <=1-row property of each
+    # broadcast side STRUCTURAL (Aggregate(keys=[]) in the plan) rather
+    # than an invariant of the rank filter — the repo-wide BNLJ plan
+    # gate (tests/test_plans.py) verifies tiny build sides by shape,
+    # and the rank-filter shape alone is not provably bounded
     v_cut = global_rank(
         o.select(F.col("valid_us").alias("v"), "o_orderkey"),
         ["v", "o_orderkey"],
     ).where(
         F.col("global_rank") == F.expr("(6 * n_total) div 10 + 1")
-    ).select(F.col("v").alias("v_cut"))
+    ).agg(F.min("v").alias("v_cut"))
     t_cut = global_rank(
         o.select(F.col("tx_us").alias("t"), "o_orderkey"),
         ["t", "o_orderkey"],
     ).where(
         F.col("global_rank") == F.expr("(8 * n_total) div 10 + 1")
-    ).select(F.col("t").alias("t_cut"))
+    ).agg(F.min("t").alias("t_cut"))
     elig = (
         o.crossJoin(F.broadcast(v_cut))
         .crossJoin(F.broadcast(t_cut))
@@ -909,8 +924,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(1000000 * size(array_intersect(exact_ids, approx_ids)))"
             f" div {_ANN_K}"
         ).cast("bigint").alias("recall_ppm"),
-        "exact_ids",
-        "approx_ids",
+        # id lists as comma-joined strings, NOT array columns: the
+        # driver canonicalizes rows-only results through pandas, where
+        # an array cell is unhashable and errs the grade (the
+        # q_media_frames/CORRECTNESS_r02 lesson; caught by the r11
+        # window pre-audit rehearsal)
+        F.array_join(F.transform("exact_ids", lambda x: x.cast("string")),
+                     ",").alias("exact_ids"),
+        F.array_join(F.transform("approx_ids", lambda x: x.cast("string")),
+                     ",").alias("approx_ids"),
     )
 
 
@@ -937,3 +959,11 @@ STAGED = {
     # rows-only by design (MLlib BRP-LSH hash internals)
     "q_ann_recall_audit": (q_ann_recall_audit, None),
 }
+
+# r11 reopening registration (VERDICT r10 #1): 357 -> 366. Import-time,
+# like every other operator module; the names join the never-graded
+# backlog and therefore lead the rotated r11 window.
+from spark_ml_spark.registry import query  # noqa: E402
+
+for _n, (_fn, _sql) in STAGED.items():
+    query(_n, _sql)(_fn)

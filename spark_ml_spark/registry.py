@@ -85,6 +85,9 @@ _OPERATOR_MODULES = (
     # r10 reopening (VERDICT r9 #1): the eight REOPENING.md candidates,
     # staged behind the r6-r9 registration freeze, flip on here
     "spark_ml_spark.operators.staged_r10",
+    # r11 reopening (VERDICT r10 #1): the nine ranked REOPENING.md r11
+    # candidates, staged in r10, flip on here (357 -> 366)
+    "spark_ml_spark.operators.staged_r11",
 )
 
 
@@ -173,17 +176,18 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r10 WINDOW (the reopening): CORRECTNESS_r09.json landed 45
-#: hash-green + 5 clean rows-only with **zero failures**, draining the
-#: backlog to 0 and ending the r6-r9 registration freeze, so r10
-#: registered the eight staged ``operators/staged_r10.py`` queries
-#: (349 -> 357). The backlog is always recomputed programmatically as
+#: r11 WINDOW: CORRECTNESS_r10.json landed 44 hash-green + 6 clean
+#: rows-only with **zero failures** (the sixth consecutive clean
+#: window), so r11 registered the nine staged
+#: ``operators/staged_r11.py`` queries (357 -> 366, VERDICT r10 #1).
+#: The backlog is always recomputed programmatically as
 #: ``registered − union(CORRECTNESS_r*.json keys)``
 #: (``tests/test_registry_window.py`` enforces this; the glob is
 #: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting), so
-#: the eight new names ARE the backlog and lead this window; the
-#: remaining 42 slots are the least-recently-graded anchors (r1/r2-era
-#: ML/dedup/similarity core, last graded in CORRECTNESS_r0{1,2}.json).
+#: the nine new names ARE the backlog and lead this window; the
+#: remaining 41 slots are the least-recently-graded anchors (streaming
+#: + warehouse + curation queries last graded in r2/r3, then the
+#: TPC-H block last graded in r1/r7).
 #:
 #: Generated by ``tools/rotate_window.py`` (mechanical paste of
 #: :func:`proposed_window`), pre-audited through ``tools/driver_check.py``
@@ -191,58 +195,58 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: tuple to ``proposed_window(50)`` exactly, in both the backlog≥50 and
 #: the anchor regimes.
 _GRADED_WINDOW = (
-    # 8-query never-graded backlog (the r10 reopening wave), then 42
-    # least-recently-graded anchors; see the r10 WINDOW note above
-    "q_approx_percentiles_audit",
-    "q_hll_error_audit",
-    "q_time_weighted_avg",
-    "q_minmax_downsample",
-    "q_join_skew_report",
-    "q_weighted_quantile",
-    "q_text_scan",
-    "q_stream_watermark_audit",
-    "q_model_selection",
-    "q_rmse",
-    "q_minhash_neardup",
-    "q_star_join",
-    "q_exact_dedup",
-    "q_minhash_native",
-    "q_simhash_buckets",
-    "q_llm_pipeline",
-    "q_ngram_jaccard",
-    "q_fuzzy_dedup_levenshtein",
-    "q_dedup_clusters",
-    "q_segment_dedup",
-    "q_decontaminate",
-    "q_cosine_topk",
-    "q_embedding_neardup",
-    "q_ivf_topk",
-    "q_cosine_topk_batch",
-    "q_embedding_stats",
-    "q_ivf_kmeans_topk",
-    "q_brp_lsh_neighbors",
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_doc_fingerprint",
-    "q_hash_split",
-    "q_stratified_sample",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_tfidf_topterms",
-    "q_array_functions",
-    "q_token_packing",
-    "q_domain_mix",
-    "q_training_data_prep",
-    "q_multimodal_meta",
-    "q_sql_tpch_q3",
-    "q_sql_tpch_q6",
-    "q_sql_tpch_q14",
-    "q_sql_correlated_subquery",
-    "q_sql_window_ntile",
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q5",
+    # 9-query never-graded backlog (the r11 reopening wave), then 41
+    # least-recently-graded anchors; see the r11 WINDOW note above
+    "q_rollup_invariance",
+    "q_shuffle_hash_join",
+    "q_bfs_levels",
+    "q_point_in_polygon",
+    "q_mmr_diversify",
+    "q_stream_update_mode_audit",
+    "q_bitemporal_asof",
+    "q_rollup_delta_apply",
+    "q_ann_recall_audit",
+    "q_sql_tpch_q18",
+    "q_sql_grouping_sets",
+    "q_stream_tumbling",
+    "q_stream_stateful_sessions",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_stream_event_window",
+    "q_sliding_window",
+    "q_flagship",
+    "q_histogram",
+    "q_corr_matrix",
+    "q_upsert_latest",
+    "q_bucketed_join",
+    "q_custom_udaf",
+    "q_zorder_layout",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_window_range_frame",
+    "q_incremental_agg",
+    "q_gap_fill",
+    "q_logreg_classify",
+    "q_simhash_portable",
+    "q_semantic_dedup",
+    "q_repetition_score",
+    "q_pii_redact",
+    "q_heavy_hitters",
+    "q_shard_assign",
+    "q_temperature_sample",
+    "q_media_frames",
+    "q_media_decode",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q16",
 )
 
 

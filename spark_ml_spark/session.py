@@ -51,7 +51,7 @@ def get_spark(app_name: str = "spark_ml_spark", cpus: str | int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        # Long shared sessions (the 339-query bench, the 357-query driver
+        # Long shared sessions (the 346-query bench, the 366-query driver
         # mirror, a real long-running cluster driver) accumulate
         # weakly-referenced broadcast/shuffle/RDD state that the
         # ContextCleaner only reclaims when a GC actually runs — and with

@@ -7,7 +7,7 @@ every registered batch query; this pins that coverage so it cannot rot):
 * no duplicates (a duplicate silently double-times one query and skews
   the headline total);
 * the exclusion set — registered queries NOT in HEADLINE — is exactly
-  the 18 documented in bench.py's module docstring (12 streaming + 6
+  the 20 documented in bench.py's module docstring (13 streaming + 7
   MLlib estimator fits). Registering a new batch query without benching
   it fails here, loudly, with the offender named.
 
@@ -26,12 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from spark_ml_spark import registry  # noqa: E402
 
-#: the 18 documented exclusions (bench.py module docstring, VERDICT r5
+#: the 20 documented exclusions (bench.py module docstring, VERDICT r5
 #: directive #4): wall-clock there measures trigger/checkpoint latency or
 #: iterative JVM solver cost, not a data plan this repo authors
 EXPECTED_EXCLUDED = {
     # streaming (micro-batch trigger latency, not engine throughput)
     "q_stream_watermark_audit",
+    "q_stream_update_mode_audit",
     "q_stream_tumbling",
     "q_stream_sliding_window",
     "q_stream_event_window",
@@ -50,6 +51,7 @@ EXPECTED_EXCLUDED = {
     "q_model_selection",
     "q_logreg_classify",
     "q_brp_lsh_neighbors",
+    "q_ann_recall_audit",
 }
 
 

@@ -5,8 +5,9 @@ applies (column names + order-insensitive value hash via
 freeze) so the reopening flipped on code already driver-green by
 construction; kept after it as the module's regression suite.
 
-Also pins the post-reopening registry state: 357 registered with all
-eight STAGED names present (the r9 freeze-guard inverted).
+Also pins the post-reopening registry state (updated alongside each
+flip; 366 since r11) with all eight STAGED names present (the r9
+freeze-guard inverted).
 """
 
 from __future__ import annotations
@@ -27,10 +28,11 @@ from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
 
 def test_staged_module_registered_in_r10():
     # the r10 reopening guard (inverts the r9 freeze guard): the module
-    # is in _OPERATOR_MODULES and its registration loop ran, so the
-    # registry holds exactly 349 + 8 with every staged name present
+    # is in _OPERATOR_MODULES and its registration loop ran, with every
+    # staged name present (349 + 8 in r10; 366 since the r11 flip —
+    # updated alongside each flip)
     qs, _ = collect()
-    assert len(qs) == 357
+    assert len(qs) == 366
     assert set(STAGED) <= set(QUERIES)
     # and the oracle wiring matches the STAGED source of truth: the one
     # rows-only entry has no oracle, the other seven do

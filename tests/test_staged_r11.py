@@ -1,12 +1,10 @@
-"""Oracle-differential tests for the STAGED r11 candidates
+"""Oracle-differential tests for the r11 reopening batch
 (``operators/staged_r11.py``) — the same strict compare the driver
 applies (column names + order-insensitive value hash via
-``tools.driver_check.value_hash``), run BEFORE registration so the r11
-reopening flips on code that is already driver-green by construction.
-
-Also pins the r10 cadence guard: importing the staged module must NOT
-register anything (``len(queries()) == 357`` until r11 flips it on),
-per REOPENING.md's ~10-registrations-per-round policy.
+``tools.driver_check.value_hash``). Written BEFORE registration so the
+r11 reopening flipped on code that was already driver-green by
+construction; since the flip (VERDICT r10 #1) the wiring test pins the
+nine names as REGISTERED (``len(queries()) == 366``).
 """
 
 from __future__ import annotations
@@ -26,14 +24,12 @@ from spark_ml_spark.operators.staged_r11 import STAGED  # noqa: E402
 from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
 
 
-def test_staged_module_registers_nothing():
-    # the r10 cadence guard: this module stages code for r11 — importing
-    # it (as this test file just did) must leave the registry at 357
-    # with none of the r11 staged names present
+def test_staged_module_is_registered():
+    # the r11 flip (VERDICT r10 #1): importing the module registers all
+    # nine names — 357 -> 366, no collision with the r10 wave
     qs, _ = collect()
-    assert len(qs) == 357
-    assert not set(STAGED) & set(QUERIES)
-    # and the r11 names don't collide with the r10 wave either
+    assert len(qs) == 366
+    assert set(STAGED) <= set(QUERIES)
     assert not set(STAGED) & set(STAGED_R10)
 
 
@@ -149,7 +145,14 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
     assert 0 < r.n_approx <= 10
     assert 0 <= r.n_overlap <= min(r.n_exact, r.n_approx)
     assert r.recall_ppm == (1_000_000 * r.n_overlap) // 10
-    assert 0 not in set(r.exact_ids) | set(r.approx_ids), (
+    # id lists travel as comma-joined strings (driver rows-only
+    # canonicalizer rejects array cells — pre-audit catch, r11)
+    exact_ids = {int(x) for x in r.exact_ids.split(",")}
+    approx_ids = {int(x) for x in r.approx_ids.split(",")}
+    assert len(exact_ids) == r.n_exact
+    assert len(approx_ids) == r.n_approx
+    assert len(exact_ids & approx_ids) == r.n_overlap
+    assert 0 not in exact_ids | approx_ids, (
         "the query vector must not be its own neighbour")
     # seeded determinism: the audit is reproducible within a session
     again = STAGED["q_ann_recall_audit"][0](spark, sf_dir).collect()[0]

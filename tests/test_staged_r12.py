@@ -4,8 +4,8 @@ applies, run two rounds before registration per the staging
 discipline.
 
 Also pins the cadence guard: importing the staged module must NOT
-register anything (``len(queries()) == 357`` until the r11 flip makes
-it 366 — this test is updated alongside that flip).
+register anything (``len(queries()) == 366`` after the r11 flip, until
+the r12 flip makes it 369 — this test is updated alongside that flip).
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
 
 def test_staged_module_registers_nothing():
     qs, _ = collect()
-    assert len(qs) == 357
+    assert len(qs) == 366
     assert not set(STAGED) & set(QUERIES)
     assert not set(STAGED) & set(STAGED_R11)
 
@@ -56,7 +56,15 @@ def test_scd2_merge_apply_history_is_wellformed(spark, sf_dir):
     for r in rows:
         by_user.setdefault(r.user_id, []).append(r)
     for u, vs in by_user.items():
-        vs.sort(key=lambda r: r.valid_from_us)
+        # deterministic order even if two versions tie on valid_from_us
+        # (two same-user events on one microsecond): the open version
+        # (valid_to_us None) sorts last, closed ones by valid_to_us
+        # (ADVICE r10 #3)
+        vs.sort(key=lambda r: (
+            r.valid_from_us,
+            r.valid_to_us is None,
+            r.valid_to_us if r.valid_to_us is not None else 0,
+        ))
         # exactly one open version per entity, and it is the last one
         opens = [r for r in vs if r.valid_to_us is None]
         assert len(opens) == 1 and vs[-1].valid_to_us is None
