@@ -525,11 +525,18 @@ def global_prefix_sum(
     Phase 1: range-repartition on the sort key; a windowed running sum
     within each range partition (every partition scans only its slice).
     Phase 2: per-partition value totals fold into ONE array-of-structs
-    row, broadcast; the global cumulative sum adds the lower
-    partitions' totals via a JVM higher-order aggregate. Accumulation
-    is BIGINT — callers whose values can overflow int64 at target scale
-    should pre-scale (the same contract as the repo's micro-unit
-    convention).
+    row, and the exclusive prefix offsets are materialized as a
+    <=``partitions``-row OFFSETS TABLE (the higher-order aggregate
+    lambdas run once per partition id, at build time) that
+    broadcast-HASH-joins back onto the fact on ``_pid``. The cumulative
+    column is then plain column arithmetic (``_cw + _off``) — callers
+    can reference it many times in pushed-down predicates without
+    Catalyst re-expanding a per-row array aggregate each time (the r11
+    q_weighted_quantile finding: the first formulation inlined the
+    lambda into a BroadcastNestedLoopJoin condition, evaluating the
+    array fold ~11x per fact row). Accumulation is BIGINT — callers
+    whose values can overflow int64 at target scale should pre-scale
+    (the same contract as the repo's micro-unit convention).
 
     ``sort_cols`` must be a total order (include a unique tiebreaker)
     or cumulative sums at equal keys are nondeterministic across
@@ -561,31 +568,34 @@ def global_prefix_sum(
             W.partitionBy("_pid").orderBy(*sort_cols)
         ),
     )
-    pts = ranged.groupBy("_pid").agg(
+    ptot = ranged.groupBy("_pid").agg(
         F.sum(F.col(val_col).cast("bigint")).alias("pw")
-    ).agg(
+    )
+    pts = ptot.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("_pid").alias("pid"), F.col("pw")))
         ).alias("_pts")
     )
+    # materialize the exclusive-prefix offset PER PARTITION ID (the
+    # lambdas fold the <=`partitions`-element array once per pid row,
+    # not once per fact-row reference); the 1-row pts build side keeps
+    # the Aggregate(keys=[]) shape the BNLJ plan gate requires
+    offs = ptot.crossJoin(F.broadcast(pts)).select(
+        "_pid",
+        F.aggregate(
+            F.filter("_pts", lambda p: p["pid"] < F.col("_pid")),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p["pw"],
+        ).alias("_off"),
+        F.aggregate(
+            "_pts", F.lit(0).cast("bigint"), lambda acc, p: acc + p["pw"]
+        ).alias("_tot"),
+    )
     return (
-        local.join(F.broadcast(pts))
-        .withColumn(
-            cum_col,
-            F.col("_cw")
-            + F.aggregate(
-                F.filter("_pts", lambda p: p["pid"] < F.col("_pid")),
-                F.lit(0).cast("bigint"),
-                lambda acc, p: acc + p["pw"],
-            ),
-        )
-        .withColumn(
-            total_col,
-            F.aggregate(
-                "_pts", F.lit(0).cast("bigint"), lambda acc, p: acc + p["pw"]
-            ),
-        )
-        .drop("_pid", "_cw", "_pts")
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(cum_col, F.col("_cw") + F.col("_off"))
+        .withColumn(total_col, F.col("_tot"))
+        .drop("_pid", "_cw", "_off", "_tot")
     )
 
 
