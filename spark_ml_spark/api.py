@@ -449,9 +449,14 @@ def global_rank(
     Phase 1: range-repartition on the sort key; ``row_number`` within each
     range partition (every partition sorts only its own slice).
     Phase 2: per-partition counts fold into ONE array-of-structs row
-    (|partitions| entries), broadcast; global rank = local rank + sum of
-    lower partitions' counts via a JVM higher-order aggregate. No
-    unpartitioned window anywhere and no driver collect.
+    (|partitions| entries), and the exclusive prefix offsets are
+    materialized as a <=``partitions``-row OFFSETS TABLE (the
+    higher-order aggregate lambdas run once per partition id, at build
+    time) that broadcast-HASH-joins back onto the fact on ``_pid`` —
+    the rank column is then plain arithmetic, so callers' pushed-down
+    rank predicates cannot make Catalyst re-expand a per-row array
+    fold (the r11 ``global_prefix_sum`` finding, applied to the twin).
+    No unpartitioned window anywhere and no driver collect.
 
     ``sort_cols`` must be a total order (include a unique tiebreaker) or
     ranks are nondeterministic across range-partitioner samplings. Adds
@@ -463,7 +468,7 @@ def global_rank(
     # the working columns and outputs must not collide with input columns
     # — a pre-existing _pid/_rn/_pcs (or rank/total name) would silently
     # corrupt ranks through ambiguous references (ADVICE r2)
-    reserved = {"_pid", "_rn", "_pcs", rank_col, total_col}
+    reserved = {"_pid", "_rn", "_pcs", "_off", "_tot", rank_col, total_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
@@ -485,29 +490,32 @@ def global_rank(
     ).persist()
     w_local = W.partitionBy("_pid").orderBy(*sort_cols)
     local = ranged.withColumn("_rn", F.row_number().over(w_local))
-    pcs = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).agg(
+    pcnt = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+    pcs = pcnt.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("_pid").alias("pid"), F.col("cnt")))
         ).alias("_pcs")
     )
+    # materialize the exclusive-prefix offset PER PARTITION ID (the
+    # lambdas fold the <=`partitions`-element array once per pid row,
+    # not once per fact-row reference); the 1-row pcs build side keeps
+    # the Aggregate(keys=[]) shape the BNLJ plan gate requires
+    offs = pcnt.crossJoin(F.broadcast(pcs)).select(
+        "_pid",
+        F.aggregate(
+            F.filter("_pcs", lambda p: p["pid"] < F.col("_pid")),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p["cnt"],
+        ).alias("_off"),
+        F.aggregate(
+            "_pcs", F.lit(0).cast("bigint"), lambda acc, p: acc + p["cnt"]
+        ).alias("_tot"),
+    )
     return (
-        local.join(F.broadcast(pcs))
-        .withColumn(
-            rank_col,
-            F.col("_rn").cast("bigint")
-            + F.aggregate(
-                F.filter("_pcs", lambda p: p["pid"] < F.col("_pid")),
-                F.lit(0).cast("bigint"),
-                lambda acc, p: acc + p["cnt"],
-            ),
-        )
-        .withColumn(
-            total_col,
-            F.aggregate(
-                "_pcs", F.lit(0).cast("bigint"), lambda acc, p: acc + p["cnt"]
-            ),
-        )
-        .drop("_pid", "_rn", "_pcs")
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, F.col("_rn").cast("bigint") + F.col("_off"))
+        .withColumn(total_col, F.col("_tot"))
+        .drop("_pid", "_rn", "_off", "_tot")
     )
 
 
@@ -544,7 +552,7 @@ def global_prefix_sum(
     (the grand total, for share-of-total arithmetic); drops nothing
     else.
     """
-    reserved = {"_pid", "_cw", "_pts", cum_col, total_col}
+    reserved = {"_pid", "_cw", "_pts", "_off", "_tot", cum_col, total_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
