@@ -624,8 +624,11 @@ def grouped_rank(
     group spans a *run* of partitions, each partition sorting only its
     own slice (``row_number`` over ``(_pid, group)``).
     Phase 2: per-(group, partition) counts fold into one array-of-structs
-    row PER GROUP (|groups| rows), broadcast-joined back on the group
-    key; rank = local rank + earlier-partition counts of the same group.
+    row PER GROUP (|groups| rows), and the exclusive prefix offsets are
+    materialized as a (group, partition)-keyed OFFSETS TABLE (the fold
+    runs once per offsets row, not once per fact-row reference — the
+    r11 global_prefix_sum/global_rank finding) that broadcast-joins
+    back on (group, _pid); rank = local rank + the offset column.
 
     Scale bound: the broadcast side is |groups| × |partitions-touching-
     that-group| structs — meant for few-large-groups skew (its whole
@@ -633,7 +636,7 @@ def grouped_rank(
     which is already skew-free there. ``sort_cols`` must total-order rows
     within a group (include a tiebreaker). Adds ``rank_col`` and
     ``total_col`` (group row count, for percentile arithmetic)."""
-    reserved = {"_pid", "_rn", "_gpcs", rank_col, total_col}
+    reserved = {"_pid", "_rn", "_gpcs", "_off", "_tot", rank_col, total_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
@@ -649,34 +652,34 @@ def grouped_rank(
     ).withColumn("_pid", F.spark_partition_id()).persist()
     w_local = W.partitionBy("_pid", *group_cols).orderBy(*sort_cols)
     local = ranged.withColumn("_rn", F.row_number().over(w_local))
-    gpcs = (
-        local.groupBy("_pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(*group_cols)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("_pid").alias("pid"), F.col("cnt"))
-                )
-            ).alias("_gpcs")
-        )
+    gcnt = local.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gpcs = gcnt.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("_pid").alias("pid"), F.col("cnt"))
+            )
+        ).alias("_gpcs")
+    )
+    # materialize the exclusive-prefix offset PER (group, partition id)
+    # — the lambdas fold each group's array once per offsets row, never
+    # once per fact-row reference
+    offs = gcnt.join(F.broadcast(gpcs), group_cols).select(
+        *group_cols,
+        "_pid",
+        F.aggregate(
+            F.filter("_gpcs", lambda p: p["pid"] < F.col("_pid")),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p["cnt"],
+        ).alias("_off"),
+        F.aggregate(
+            "_gpcs", F.lit(0).cast("bigint"), lambda acc, p: acc + p["cnt"]
+        ).alias("_tot"),
     )
     return (
-        local.join(F.broadcast(gpcs), group_cols)
-        .withColumn(
-            rank_col,
-            F.col("_rn").cast("bigint")
-            + F.aggregate(
-                F.filter("_gpcs", lambda p: p["pid"] < F.col("_pid")),
-                F.lit(0).cast("bigint"),
-                lambda acc, p: acc + p["cnt"],
-            ),
-        )
-        .withColumn(
-            total_col,
-            F.aggregate(
-                "_gpcs", F.lit(0).cast("bigint"), lambda acc, p: acc + p["cnt"]
-            ),
-        )
-        .drop("_pid", "_rn", "_gpcs")
+        local.join(F.broadcast(offs), [*group_cols, "_pid"])
+        .withColumn(rank_col, F.col("_rn").cast("bigint") + F.col("_off"))
+        .withColumn(total_col, F.col("_tot"))
+        .drop("_pid", "_rn", "_off", "_tot")
     )
