@@ -499,9 +499,10 @@ def q_shortest_path_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — chosen deliberately: the full C(k,2) clique
     expansion (``q_bfs_levels``'s universe) triples the edge mass and
     puts ~70% of all nodes in every relaxation frontier, tripling the
-    round cost without exercising anything new (measured 8.4s → ~3s
-    at sf0.1). Multi-source seeds (part key divisible by 97, as in
-    BFS), ``_SP_K`` relaxation rounds; emits each reached node's
+    round cost without exercising anything new (measured 8.4s → ~6s
+    at sf0.1 — build and relaxations both shrink). Multi-source
+    seeds (part key divisible by 97, as in BFS), ``_SP_K`` relaxation
+    rounds; emits each reached node's
     minimum path cost and, among minimum-cost paths, the minimum hop
     count.
 
