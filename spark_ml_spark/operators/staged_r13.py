@@ -304,8 +304,11 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("c_nationkey").alias("nr"),
         F.count_distinct("c_mktsegment").alias("ns"),
     ).select(
-        (F.col("t") / F.col("nr")).cast("bigint").alias("t_row"),
-        (F.col("t") / F.col("ns")).cast("bigint").alias("t_col"),
+        # integer floor division to mirror the oracle's `//` exactly
+        # (ADVICE r11: double division is exact only below 2^53 — at the
+        # documented 100 TB scale sum(w) would exceed that and diverge)
+        F.expr("t div nr").cast("bigint").alias("t_row"),
+        F.expr("t div ns").cast("bigint").alias("t_col"),
     )
     w = cells.crossJoin(F.broadcast(tot))
     for _ in range(_IPF_ITERS):
@@ -527,8 +530,17 @@ def q_shortest_path_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 bench; a frontier-only worklist variant was measured and
     REJECTED during staging — on this weight structure ~90% of nodes
     improve every round, so the pruning joins cost more than they
-    save). Plan depth fixed at K (unrolled, no driver collect, no
-    unbounded lineage). Extends ``q_bfs_levels`` (unweighted levels)
+    save). Each round eagerly materializes its best-table (one
+    ``count()``) and then UNPERSISTS the superseded previous round —
+    only the previous best feeds a round, so in a long-lived shared
+    session (the 366-query driver grade) the cached footprint stays at
+    one best-table + edges instead of K+1 tables (ADVICE r11; the
+    edges table is dropped after the last round, and the final
+    best-table — which the returned plan reads from cache — is
+    released by the per-query ``spark.catalog.clearCache()`` both
+    bench.py and tools/driver_check.py run). Plan depth fixed at K
+    (unrolled, no driver collect of result rows, no unbounded
+    lineage). Extends ``q_bfs_levels`` (unweighted levels)
     to weighted costs; the ~6s sf0.1 cost is the basket-graph build
     plus K edge-mass relaxation passes — the ``q_triangle_count``
     family cost, not a scale hazard.
@@ -592,12 +604,20 @@ def q_shortest_path_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (F.col("key") % 8 + 1)).alias("key"),
             )
         )
+        prev = best
         best = (
             best.union(cand)
             .groupBy("node")
             .agg(F.min("key").alias("key"))
             .persist()
         )
+        # materialize this round, then drop the superseded previous
+        # best-table — each round reads only its predecessor, so the
+        # shared-session cached footprint stays at one best-table +
+        # edges instead of K+1 tables (ADVICE r11)
+        best.count()
+        prev.unpersist()
+    edges.unpersist()
     return best.select(
         "node",
         F.expr("key div 8").cast("bigint").alias("path_cost"),

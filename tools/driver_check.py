@@ -146,6 +146,13 @@ def main() -> None:
             print(f"FAIL  {name}: spark error: {ex}")
             failed += 1
             continue
+        finally:
+            # queries that persist() intermediates (iterative graph ops,
+            # LSH feature frames) leave them resident after the collect;
+            # drop them so a 366-query pass doesn't accumulate cached
+            # relations in the shared session (ADVICE r11) — the same
+            # per-query protocol bench.py runs
+            spark.catalog.clearCache()
         if name not in oracles:
             # The driver still canonicalizes rows-only results through
             # pandas before recording them — an array/struct column errs
