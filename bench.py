@@ -10,7 +10,7 @@ physical plan (scan → shuffle → agg) with zero sink cost, so the number is
 the engine's throughput, not the collector's.
 
 COVERAGE RULE (VERDICT r5 directive #4): every registered batch query is
-in HEADLINE — 346 of 366. The 20 exclusions, by criterion:
+in HEADLINE — 356 of 376. The 20 exclusions, by criterion:
 
 * the 13 ``q_stream_*`` queries — their wall-clock is micro-batch trigger
   / checkpoint latency on a synthetic rate source, not engine throughput
@@ -493,6 +493,18 @@ HEADLINE = (
     "q_mmr_diversify",
     "q_bitemporal_asof",
     "q_rollup_delta_apply",
+    # round-12 flip: the staged r12 trio plus the 7 PROMOTED r13-batch
+    # queries — all batch plans, no exclusion criterion applies
+    "q_scd2_merge_apply",
+    "q_fiscal_rollup",
+    "q_spatial_summary",
+    "q_hll_merge_rollup",
+    "q_phrase_search",
+    "q_ipf_raking",
+    "q_target_encode_oof",
+    "q_shortest_path_k",
+    "q_sql_pipe_syntax",
+    "q_sql_scalar_udf",
 )
 
 

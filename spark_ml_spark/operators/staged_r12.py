@@ -337,13 +337,18 @@ ORDER BY polygon_id
 ORACLE_SPATIAL_SUMMARY = _oracle_spatial_summary()
 
 
-#: name -> (query fn, oracle SQL). r12 registration = append this module
-#: to ``registry._OPERATOR_MODULES`` and apply the STAGED loop, exactly
-#: as documented in ``staged_r10.py``'s history (NOT before the r11
-#: grade lands — the cadence-guard test pins that importing this module
-#: registers nothing).
+#: name -> (query fn, oracle SQL); registered below since the r12 flip
 STAGED = {
     "q_scd2_merge_apply": (q_scd2_merge_apply, ORACLE_SCD2_MERGE_APPLY),
     "q_fiscal_rollup": (q_fiscal_rollup, ORACLE_FISCAL_ROLLUP),
     "q_spatial_summary": (q_spatial_summary, ORACLE_SPATIAL_SUMMARY),
 }
+
+# r12 reopening registration (VERDICT r11 zero-failure window): 366 ->
+# 369; the staged_r13 promotion right after this module takes the total
+# to 376. Import-time, like every other operator module; the names join
+# the never-graded backlog and therefore lead the rotated r12 window.
+from spark_ml_spark.registry import query  # noqa: E402
+
+for _n, (_fn, _sql) in STAGED.items():
+    query(_n, _sql)(_fn)

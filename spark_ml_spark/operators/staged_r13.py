@@ -1,15 +1,16 @@
-"""STAGED for round 13 — implemented and oracle-tested, NOT registered.
+"""The ranked r13 REOPENING.md batch — top seven PROMOTED into the r12
+flip, the final two STAGED for r13.
 
-The ranked r13 REOPENING.md batch, staged under the bounded-cadence
-policy (~10 new registrations/round) exactly the way ``staged_r11.py``
-staged the r11 wave: fully implemented to house standard (DuckDB oracle
-SQL, integer micro-unit quantization, scale-shape docstrings),
-deliberately NOT in ``registry._OPERATOR_MODULES`` and with NO
-``@query`` calls — ``tests/test_staged_r13.py`` pins that importing it
-registers nothing (``len(queries()) == 366`` until the r12 flip makes
-it 369, then the r13 flip registers these). Registration is the same
-mechanical flip documented in ``staged_r10.py``'s history: append the
-module to ``_OPERATOR_MODULES``, apply the ``STAGED`` loop, re-rotate.
+Drafted and implemented under the bounded-cadence policy (~10 new
+registrations/round) exactly the way ``staged_r11.py`` staged the r11
+wave: fully implemented to house standard (DuckDB oracle SQL, integer
+micro-unit quantization, scale-shape docstrings) one round before
+registration. The r12 flip registered the ``PROMOTED`` seven (the
+staged r12 trio used only 3 of the ~10 budget; REOPENING.md r13
+section planned this promotion); ``STAGED`` carries the remaining two
+(``q_sql_collation``, ``q_minhash_recall_audit``) for the r13 flip —
+``tests/test_staged_r13.py`` pins that those two stay unregistered
+(``len(queries()) == 376`` until the r13 flip).
 
 Every candidate passed the three drafting vettings FIRST (REOPENING.md
 r13 section): capability-overlap grep over the full registry, fixture
@@ -948,16 +949,12 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: name -> (query fn, oracle SQL). r13 registration = append this module
-#: to ``registry._OPERATOR_MODULES`` and apply::
-#:
-#:     for _n, (_fn, _sql) in STAGED.items():
-#:         query(_n, _sql)(_fn)
-#:
-#: at the bottom of this module (NOT before the r12 flip lands — the
-#: cadence-guard test pins that importing this module registers
-#: nothing).
-STAGED = {
+#: name -> (query fn, oracle SQL): the REOPENING r13 ranking's top
+#: seven, PROMOTED into the r12 flip (the staged r12 trio used only 3
+#: of r12's ~10/round budget; precedent: r11 promoted
+#: ``q_rollup_delta_apply``/``q_ann_recall_audit`` from the r12 seeds).
+#: Registered below since the r12 flip (369 -> 376).
+PROMOTED = {
     "q_hll_merge_rollup": (q_hll_merge_rollup, ORACLE_HLL_MERGE_ROLLUP),
     "q_phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
     "q_ipf_raking": (q_ipf_raking, ORACLE_IPF_RAKING),
@@ -966,8 +963,22 @@ STAGED = {
     "q_shortest_path_k": (q_shortest_path_k, ORACLE_SHORTEST_PATH_K),
     "q_sql_pipe_syntax": (q_sql_pipe_syntax, ORACLE_SQL_PIPE_SYNTAX),
     "q_sql_scalar_udf": (q_sql_scalar_udf, ORACLE_SQL_SCALAR_UDF),
+}
+
+#: the remaining ranked candidates, STILL STAGED for the r13 flip —
+#: apply the same loop over this dict then (the cadence-guard test pins
+#: that these two stay unregistered until the r12 grade lands)
+STAGED = {
     "q_sql_collation": (q_sql_collation, ORACLE_SQL_COLLATION),
     # rows-only by design (MLlib MinHashLSH hash internals) — bounds
     # the q_minhash_neardup caveat; registered WITHOUT oracle SQL
     "q_minhash_recall_audit": (q_minhash_recall_audit, None),
 }
+
+# r12 promotion registration: import-time, like every other operator
+# module; the seven names join the never-graded backlog and lead the
+# rotated r12 window together with the staged_r12 trio.
+from spark_ml_spark.registry import query  # noqa: E402
+
+for _n, (_fn, _sql) in PROMOTED.items():
+    query(_n, _sql)(_fn)

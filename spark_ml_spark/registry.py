@@ -88,6 +88,11 @@ _OPERATOR_MODULES = (
     # r11 reopening (VERDICT r10 #1): the nine ranked REOPENING.md r11
     # candidates, staged in r10, flip on here (357 -> 366)
     "spark_ml_spark.operators.staged_r11",
+    # r12 reopening: the staged r12 trio (366 -> 369) plus the
+    # PROMOTED top seven of the ranked r13 batch (369 -> 376), per
+    # REOPENING.md's planned promotion into r12's ~10/round budget
+    "spark_ml_spark.operators.staged_r12",
+    "spark_ml_spark.operators.staged_r13",
 )
 
 
@@ -176,18 +181,19 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: order (observed empirically: CORRECTNESS_r0{1,2,3,5,6}.json each hold
 #: exactly the first 50 names; no r4 artifact was ever delivered).
 #:
-#: r11 WINDOW: CORRECTNESS_r10.json landed 44 hash-green + 6 clean
-#: rows-only with **zero failures** (the sixth consecutive clean
-#: window), so r11 registered the nine staged
-#: ``operators/staged_r11.py`` queries (357 -> 366, VERDICT r10 #1).
+#: r12 WINDOW: CORRECTNESS_r11.json landed 45 hash-green + 5 designed
+#: rows-only with **zero failures** (the seventh consecutive clean
+#: window), so r12 registered the staged ``operators/staged_r12.py``
+#: trio plus the PROMOTED top seven of the ranked r13 batch
+#: (366 -> 376, REOPENING.md's planned promotion).
 #: The backlog is always recomputed programmatically as
 #: ``registered − union(CORRECTNESS_r*.json keys)``
 #: (``tests/test_registry_window.py`` enforces this; the glob is
 #: ``CORRECTNESS_r*.json`` so double-digit rounds keep counting), so
-#: the nine new names ARE the backlog and lead this window; the
-#: remaining 41 slots are the least-recently-graded anchors (streaming
-#: + warehouse + curation queries last graded in r2/r3, then the
-#: TPC-H block last graded in r1/r7).
+#: the ten new names ARE the backlog and lead this window; the
+#: remaining 40 slots are the least-recently-graded anchors (the TPC-H
+#: Q17/Q19-Q22 block and streaming sinks last graded in r2/r3, then
+#: the r3-graded text/dedup/warehouse cohort).
 #:
 #: Generated by ``tools/rotate_window.py`` (mechanical paste of
 #: :func:`proposed_window`), pre-audited through ``tools/driver_check.py``
@@ -195,58 +201,59 @@ def proposed_window(k: int = 50, repo_dir: str | None = None) -> list[str]:
 #: tuple to ``proposed_window(50)`` exactly, in both the backlog≥50 and
 #: the anchor regimes.
 _GRADED_WINDOW = (
-    # 9-query never-graded backlog (the r11 reopening wave), then 41
-    # least-recently-graded anchors; see the r11 WINDOW note above
-    "q_rollup_invariance",
-    "q_shuffle_hash_join",
-    "q_bfs_levels",
-    "q_point_in_polygon",
-    "q_mmr_diversify",
-    "q_stream_update_mode_audit",
-    "q_bitemporal_asof",
-    "q_rollup_delta_apply",
-    "q_ann_recall_audit",
-    "q_sql_tpch_q18",
-    "q_sql_grouping_sets",
-    "q_stream_tumbling",
-    "q_stream_stateful_sessions",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    "q_stream_event_window",
-    "q_sliding_window",
-    "q_flagship",
-    "q_histogram",
-    "q_corr_matrix",
-    "q_upsert_latest",
-    "q_bucketed_join",
-    "q_custom_udaf",
-    "q_zorder_layout",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_window_range_frame",
-    "q_incremental_agg",
-    "q_gap_fill",
-    "q_logreg_classify",
-    "q_simhash_portable",
-    "q_semantic_dedup",
-    "q_repetition_score",
-    "q_pii_redact",
-    "q_heavy_hitters",
-    "q_shard_assign",
-    "q_temperature_sample",
-    "q_media_frames",
-    "q_media_decode",
-    "q_sql_tpch_q12",
-    "q_sql_tpch_q2",
-    "q_sql_tpch_q4",
-    "q_sql_tpch_q7",
-    "q_sql_tpch_q8",
-    "q_sql_tpch_q9",
-    "q_sql_tpch_q10",
-    "q_sql_tpch_q11",
-    "q_sql_tpch_q13",
-    "q_sql_tpch_q15",
-    "q_sql_tpch_q16",
+    # 10-query never-graded backlog (the r12 flip: staged trio + the
+    # promoted r13 seven), then 40 least-recently-graded anchors; see
+    # the r12 WINDOW note above
+    "q_scd2_merge_apply",
+    "q_fiscal_rollup",
+    "q_spatial_summary",
+    "q_hll_merge_rollup",
+    "q_phrase_search",
+    "q_ipf_raking",
+    "q_target_encode_oof",
+    "q_shortest_path_k",
+    "q_sql_pipe_syntax",
+    "q_sql_scalar_udf",
+    "q_sql_tpch_q17",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q20",
+    "q_sql_tpch_q21",
+    "q_sql_tpch_q22",
+    "q_stream_to_parquet",
+    "q_stream_sliding_window",
+    "q_stream_foreachbatch_upsert",
+    "q_vocab_build",
+    "q_substring_dedup",
+    "q_doc_outliers",
+    "q_quantize_embeddings",
+    "q_tokenize_ids",
+    "q_lm_score",
+    "q_chunk_documents",
+    "q_pq_topk",
+    "q_full_outer_join",
+    "q_scd2_intervals",
+    "q_salted_join",
+    "q_nb_classify",
+    "q_calibration_bins",
+    "q_roc_curve",
+    "q_maxsim_topk",
+    "q_random_projection",
+    "q_stream_static_join",
+    "q_stream_windowed_topk",
+    "q_l_diversity",
+    "q_rrf_fusion",
+    "q_entropy_profile",
+    "q_geohash_encode",
+    "q_geo_knn_join",
+    "q_dbscan_core",
+    "q_sql_recursive",
+    "q_variant_extract",
+    "q_udtf_bigrams",
+    "q_sql_except_all",
+    "q_ngram_novelty",
+    "q_vocab_coverage",
+    "q_zipf_audit",
+    "q_kmeans_step",
 )
 
 

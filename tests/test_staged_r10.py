@@ -29,10 +29,10 @@ from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
 def test_staged_module_registered_in_r10():
     # the r10 reopening guard (inverts the r9 freeze guard): the module
     # is in _OPERATOR_MODULES and its registration loop ran, with every
-    # staged name present (349 + 8 in r10; 366 since the r11 flip —
+    # staged name present (349 + 8 in r10; 376 since the r12 flip —
     # updated alongside each flip)
     qs, _ = collect()
-    assert len(qs) == 366
+    assert len(qs) == 376
     assert set(STAGED) <= set(QUERIES)
     # and the oracle wiring matches the STAGED source of truth: the one
     # rows-only entry has no oracle, the other seven do

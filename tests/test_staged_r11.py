@@ -28,7 +28,7 @@ def test_staged_module_is_registered():
     # the r11 flip (VERDICT r10 #1): importing the module registers all
     # nine names — 357 -> 366, no collision with the r10 wave
     qs, _ = collect()
-    assert len(qs) == 366
+    assert len(qs) == 376
     assert set(STAGED) <= set(QUERIES)
     assert not set(STAGED) & set(STAGED_R10)
 

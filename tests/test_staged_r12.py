@@ -1,11 +1,11 @@
-"""Oracle-differential tests for the STAGED r12 draft
+"""Oracle-differential tests for the r12 trio
 (``operators/staged_r12.py``) — the same strict compare the driver
-applies, run two rounds before registration per the staging
-discipline.
+applies, first run two rounds before registration per the staging
+discipline, kept green after the r12 flip registered them.
 
-Also pins the cadence guard: importing the staged module must NOT
-register anything (``len(queries()) == 366`` after the r11 flip, until
-the r12 flip makes it 369 — this test is updated alongside that flip).
+Also pins the registration count: the r12 flip registers the trio plus
+the seven PROMOTED r13 candidates (366 -> 376; this test is updated
+alongside each flip).
 """
 
 from __future__ import annotations
@@ -25,10 +25,10 @@ from spark_ml_spark.operators.staged_r12 import STAGED  # noqa: E402
 from spark_ml_spark.registry import QUERIES, collect  # noqa: E402
 
 
-def test_staged_module_registers_nothing():
+def test_r12_flip_registered_the_trio():
     qs, _ = collect()
-    assert len(qs) == 366
-    assert not set(STAGED) & set(QUERIES)
+    assert len(qs) == 376
+    assert set(STAGED) <= set(QUERIES)
     assert not set(STAGED) & set(STAGED_R11)
 
 
