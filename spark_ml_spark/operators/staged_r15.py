@@ -96,12 +96,13 @@ def q_join_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract that makes join-view maintenance O(Δ), not O(history),
     at 100 TB: the three delta joins each have one small side.
 
-    Scale shape: the base join computes once (in production it is the
-    materialized view — here it is the audit's ruler together with
-    the full recompute); the three delta joins are
-    small-side ⋈ big-side shuffles; all aggregates are map-side
-    combinable on the 5-priority key space. Exact BIGINT counts and
-    quantity sums throughout.
+    Scale shape: the incremental path NEVER touches the full join —
+    it is the union of the three delta joins (each with one small
+    side) merged onto the base aggregate, exactly the dataflow a
+    maintained view runs; the full recompute exists here only as the
+    audit's ruler. All aggregates are map-side combinable on the
+    5-priority key space. Exact BIGINT counts and quantity sums
+    throughout.
 
     Cites ``Data_transform.py`` passim (no IVM surface in the
     reference)."""
@@ -119,6 +120,10 @@ def q_join_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty"),
         (F.col("l_orderkey") % _JDA_S_MOD == 0).alias("s_delta"),
     )
+    r_old = o.where(~F.col("r_delta")).drop("r_delta")
+    r_new = o.where(F.col("r_delta")).drop("r_delta")
+    s_old = s.where(~F.col("s_delta")).drop("s_delta")
+    s_new = s.where(F.col("s_delta")).drop("s_delta")
 
     def agg(df, p):
         return df.groupBy("o_orderpriority").agg(
@@ -126,10 +131,17 @@ def q_join_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("bigint").alias(f"{p}q"),
         )
 
-    joined = o.join(s, "o_orderkey")
-    full = agg(joined, "f_")
-    base = agg(joined.where(~F.col("r_delta") & ~F.col("s_delta")), "b_")
-    delta = agg(joined.where(F.col("r_delta") | F.col("s_delta")), "d_")
+    # the audit's ruler: one direct recompute over the unsplit inputs
+    full = agg(o.join(s, "o_orderkey"), "f_")
+    # the maintained view's actual dataflow: base join + the three
+    # delta joins, the full result never consulted
+    base = agg(r_old.join(s_old, "o_orderkey"), "b_")
+    delta = agg(
+        r_new.join(s_old, "o_orderkey")
+        .unionByName(r_old.join(s_new, "o_orderkey"))
+        .unionByName(r_new.join(s_new, "o_orderkey")),
+        "d_",
+    )
     return (
         full.join(base, "o_orderpriority", "left")
         .join(delta, "o_orderpriority", "left")
@@ -165,22 +177,33 @@ s AS (
          l_orderkey % {_JDA_S_MOD} = 0 AS s_delta
   FROM lineitem
 ),
-j AS (SELECT o.o_orderpriority, s.qty, o.r_delta, s.s_delta
-      FROM o JOIN s USING (o_orderkey)),
+r_old AS (SELECT o_orderkey, o_orderpriority FROM o WHERE NOT r_delta),
+r_new AS (SELECT o_orderkey, o_orderpriority FROM o WHERE r_delta),
+s_old AS (SELECT o_orderkey, qty FROM s WHERE NOT s_delta),
+s_new AS (SELECT o_orderkey, qty FROM s WHERE s_delta),
 full_v AS (
   SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS f_n,
          CAST(sum(qty) AS BIGINT) AS f_q
-  FROM j GROUP BY 1
+  FROM o JOIN s USING (o_orderkey) GROUP BY 1
 ),
 base_v AS (
   SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS b_n,
          CAST(sum(qty) AS BIGINT) AS b_q
-  FROM j WHERE NOT r_delta AND NOT s_delta GROUP BY 1
+  FROM r_old JOIN s_old USING (o_orderkey) GROUP BY 1
 ),
 delta_v AS (
   SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS d_n,
          CAST(sum(qty) AS BIGINT) AS d_q
-  FROM j WHERE r_delta OR s_delta GROUP BY 1
+  FROM (
+    SELECT o_orderpriority, qty
+    FROM r_new JOIN s_old USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderpriority, qty
+    FROM r_old JOIN s_new USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderpriority, qty
+    FROM r_new JOIN s_new USING (o_orderkey)
+  ) GROUP BY 1
 )
 SELECT f.o_orderpriority,
        f.f_n AS full_n, f.f_q AS full_qty,
