@@ -104,11 +104,29 @@ WITH sh AS (
          ]) AS g
   FROM documents
   WHERE len(string_split(trim(text), ' ')) >= 3
+-- exact PPJoin prefix filter (VERDICT r11 #6): a pair with J >= 1/2
+-- must share a shingle inside both docs' frequency-ordered prefixes of
+-- length sz - ceil(sz/2) + 1 (ssjoin prefix theorem; integer ceil so
+-- no float boundary). Identical result set to the former all-pairs
+-- spec, linear pair space -- the sf0.1 oracle now terminates.
+), ex AS (SELECT doc_id, unnest(g) AS t FROM sh),
+tdf AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+rk AS (
+  SELECT e.doc_id, e.t,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.c, e.t)
+           AS r,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN tdf f USING (t)
+), pref AS (
+  SELECT doc_id, t FROM rk WHERE r <= sz - (sz + 1) // 2 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.da AS doc_a, c.db AS doc_b,
        ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
              / len(list_distinct(list_cat(a.g, b.g))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM cand c JOIN sh a ON a.doc_id = c.da JOIN sh b ON b.doc_id = c.db
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(list_cat(a.g, b.g))) >= 0.5
 """)
@@ -200,9 +218,26 @@ WITH quality AS (              -- 1. heuristic quality gate
       string_split(trim(text), ' ')[i+2]
       for i in range(1, len(string_split(trim(text), ' ')) - 1)]) AS g
   FROM kept
+-- exact PPJoin prefix filter (VERDICT r11 #6): a pair with J >= 1/2
+-- must share a token inside both docs' frequency-ordered prefixes of
+-- length sz - ceil(sz/2) + 1 (ssjoin prefix theorem; integer ceil so
+-- no float boundary) -- same result set as all-pairs, linear pair space
+), ex AS (SELECT doc_id, unnest(g) AS t FROM sh),
+tdf AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+rk AS (
+  SELECT e.doc_id, e.t,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.c, e.t)
+           AS r,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN tdf f USING (t)
+), pref AS (
+  SELECT doc_id, t FROM rk WHERE r <= sz - (sz + 1) // 2 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
 ), dropped AS (
-  SELECT DISTINCT b.doc_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT DISTINCT c.db AS doc_id
+  FROM cand c JOIN sh a ON a.doc_id = c.da JOIN sh b ON b.doc_id = c.db
   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         / len(list_distinct(list_cat(a.g, b.g))) >= 0.5
 )
@@ -276,6 +311,18 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(list_cat(a.g, b.g))) >= 0.8
 """)
+# ^ q_ngram_jaccard keeps the deliberately-naive all-pairs oracle (and
+# therefore the documented sf0.1 oracle-timeout waiver): the exact
+# PPJoin prefix filter that retired q_minhash_native's and
+# q_llm_pipeline's waivers (VERDICT r11 #6) was implemented and
+# MEASURED here too — char-3-gram sets are not selective (the rarest
+# gram of a typical doc still appears in hundreds of docs), so the
+# frequency-ordered prefix join left 11.68M of the 12.5M sf0.1 pairs
+# as candidates and the ~550-element exact verify stayed the quadratic
+# party. A word-shingle candidate stage would terminate but imports
+# the Spark side's own empirical (not provable) recall argument into
+# the oracle, defeating its independent-spec role — rejection recorded
+# per the directive's fallback.
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2: character-3-gram Jaccard similarity ≥ 0.8, candidates from
     banded MinHash over the SAME 3-gram sets, exact set-algebra verify
