@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_spark.io.sources import load
-from spark_ml_spark.operators.graph_metrics import _EDGES_SQL, part_edges_cached
+from spark_ml_spark.operators.graph_metrics import _EDGES_SQL, _part_edges
 from spark_ml_spark.registry import query
 
 #: result cut for both queries
@@ -198,8 +198,10 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degree join broadcasts the node-sized scalar table; the adjacency
     join carries NO hint (AQE broadcast-or-shuffle, VERDICT r5
     wrong-#1); top-K is TakeOrderedAndProject."""
-    # materialized edge table (VERDICT r11 #5) - see part_edges_cached
-    e = part_edges_cached(spark, sf_dir)
+    # in-query edge build (optimization-round contract: compute from the
+    # parquet inputs every invocation; the fixture-keyed materialization
+    # was precomputation across runs — reverted)
+    e = _part_edges(spark, sf_dir)
     # NOTHING persisted: all the multi-consumer subtrees (edges, degrees,
     # orientation) are deduplicated by ReusedExchange, so persists only
     # add blocking materializations. Timings by protocol (r7, VERDICT r6

@@ -72,31 +72,6 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def part_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture-keyed MATERIALIZED copy of :func:`_part_edges`
-    (VERDICT r11 #5): the co-order graph family (triangle census,
-    local clustering, degree histogram, BFS, weighted shortest path)
-    each rebuilt the same ~2.4M-edge table from lineitem per query —
-    ~20s of the sf0.1 bench spent recomputing one immutable derived
-    table. This is the MATERIALIZED VIEW trade a 100 TB deployment
-    makes for any hot derived table: build once per fixture, store
-    columnar, amortize across every consumer; the
-    ``io.sources.fixture_key`` content fingerprint invalidates the
-    cache when the driver regenerates the fixture (the ADVICE r2
-    relay-cache discipline). ``q_bfs_levels`` deliberately KEEPS the
-    raw in-query build so the graph-construction cost itself stays a
-    measured, graded quantity (the judge's stated condition)."""
-    import os
-
-    from spark_ml_spark.io.sources import _CACHE_DIR, fixture_key
-
-    key = fixture_key(sf_dir, "lineitem")
-    out = os.path.join(_CACHE_DIR, f"part_edges_{key}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _part_edges(spark, sf_dir).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
-
-
 @query("q_degree_histogram", oracle=rf"""
 WITH e AS ({_EDGES_SQL}),
 deg AS (
@@ -119,8 +94,11 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out bounded by basket size); degrees are one map-side-combined
     group-by; the histogram is a ≤64-row aggregate. The bucket is
     integer bit-length — engine-portable, unlike float log2."""
-    # materialized edge table (VERDICT r11 #5) - see part_edges_cached
-    e = part_edges_cached(spark, sf_dir)
+    # in-query edge build: the optimization-round contract requires every
+    # invocation to compute from the parquet inputs (the r12-interim
+    # fixture-keyed parquet materialization was precomputation across
+    # runs — reverted)
+    e = _part_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -205,8 +183,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-GC-mitigation) = 4.69 s in the driver-recorded
     # BENCH_r07.json, 3.91 s in the r8 BENCH_DETAIL.json refresh — the
     # gap is session pressure (post-fix spreads ~1x).
-    # materialized edge table (VERDICT r11 #5) - see part_edges_cached
-    e = part_edges_cached(spark, sf_dir)
+    # in-query edge build (see q_degree_histogram note: the fixture-keyed
+    # materialization was precomputation across runs — reverted)
+    e = _part_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
