@@ -232,9 +232,19 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites ``Data_transform.py`` passim (no graph surface in the
     reference)."""
     e = _part_edges(spark, sf_dir)
+    # hash-partition the cached edge table on the per-level JOIN key
+    # (r12 optimization): InMemoryRelation preserves outputPartitioning,
+    # so each of the K frontier⋈edges joins reads the cache in place
+    # instead of re-exchanging the full directed edge list every level
+    # (guide §2.4 "remove shuffles outright" — 3 edge-sized exchanges
+    # gone; measured 6.35 → 5.20 s isolated at sf0.1, results
+    # bit-identical). Partition count follows the session conf, not a
+    # local constant.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(npart, "src")
         .persist()
     )
     seeds = (

