@@ -438,8 +438,22 @@ def connected_components(
 # --------------------------------------------------------------------------
 
 
+def _resolve_partitions(df: DataFrame, partitions: int | None) -> int:
+    """Range-partition count for the two-phase rank/prefix helpers:
+    the session's shuffle-partition conf unless the caller pins one
+    (r12: the former hard-coded 32 was a local-mode constant; ranks
+    over a total order are partition-count invariant, so following the
+    session conf changes nothing locally and scales on a cluster)."""
+    if partitions is not None:
+        return partitions
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def global_rank(
-    df: DataFrame, sort_cols: list[str], partitions: int = 32,
+    df: DataFrame, sort_cols: list[str], partitions: int | None = None,
     rank_col: str = "global_rank", total_col: str = "n_total",
 ) -> DataFrame:
     """Dense global 1-based rank over ``sort_cols`` WITHOUT a
@@ -477,6 +491,7 @@ def global_rank(
             f"rank_col/total_col")
     if rank_col == total_col:
         raise ValueError("global_rank: rank_col and total_col must differ")
+    partitions = _resolve_partitions(df, partitions)
     # persist the ranged layout: the rank join's two branches (local
     # ranks, per-partition counts) BOTH read this exchange, and their
     # consistency otherwise depends on Spark deduplicating the two
@@ -520,7 +535,8 @@ def global_rank(
 
 
 def global_prefix_sum(
-    df: DataFrame, sort_cols: list[str], val_col: str, partitions: int = 32,
+    df: DataFrame, sort_cols: list[str], val_col: str,
+    partitions: int | None = None,
     cum_col: str = "cum_sum", total_col: str = "sum_total",
 ) -> DataFrame:
     """Inclusive running sum of ``val_col`` over the global order
@@ -562,6 +578,7 @@ def global_prefix_sum(
     if cum_col == total_col:
         raise ValueError(
             "global_prefix_sum: cum_col and total_col must differ")
+    partitions = _resolve_partitions(df, partitions)
     # persist the ranged layout for the same reason global_rank does:
     # the running-sum and per-partition-totals branches both read this
     # exchange, and without pinning, a defeated ReusedExchange lets the
@@ -609,7 +626,7 @@ def global_prefix_sum(
 
 def grouped_rank(
     df: DataFrame, group_cols: list[str], sort_cols: list[str],
-    partitions: int = 32,
+    partitions: int | None = None,
     rank_col: str = "group_rank", total_col: str = "n_in_group",
 ) -> DataFrame:
     """Per-GROUP 1-based rank over ``sort_cols`` without a one-reducer-
@@ -645,6 +662,7 @@ def grouped_rank(
             f"rank_col/total_col")
     if rank_col == total_col:
         raise ValueError("grouped_rank: rank_col and total_col must differ")
+    partitions = _resolve_partitions(df, partitions)
     # persist for branch-consistent _pid — same rationale (and same r3
     # incident) as global_rank above
     ranged = df.repartitionByRange(

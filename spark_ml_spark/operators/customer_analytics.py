@@ -80,11 +80,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid with customer counts and exact spend totals.
 
     Scale shape: ONE corpus shuffle (group orders by customer); the
-    three rank passes run on the CUSTOMER-dimension table via
-    ``api.global_rank`` — range-repartition + local row_number +
-    broadcast partition-count prefix sums, never a single-partition
-    window; the output is a ≤64-row aggregate. Quartile arithmetic is
-    pure integer."""
+    three dimensions rank in ONE ``api.grouped_rank`` pass over the
+    exploded (dim, val, custkey) rows — range-repartition + local
+    row_number + broadcast per-(dim, partition) prefix offsets, never a
+    single-partition window — then one customer-keyed groupBy pivots
+    the quartiles back; the output is a ≤64-row aggregate. Quartile
+    arithmetic is pure integer."""
     m = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
@@ -98,29 +99,35 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("monet"),
         )
     )
-    ranked = api.global_rank(
-        m, ["last_day", "custkey"], rank_col="r_rank", total_col="n"
+    # ONE rank machine for all three dimensions (r12 optimization,
+    # guide §2.4): the former three CHAINED global_rank calls each ran
+    # their own range exchange + sampling pass + persist + offsets
+    # join over the same customer rows, serialized by the chain.
+    # Explode each customer into its three (dim, val) rows — a pure
+    # in-row projection — and rank once with grouped_rank over ``dim``:
+    # within a dim, (val, custkey) is the identical total order, so
+    # every rank and quartile is bit-identical; one narrow groupBy
+    # pivots the three quartiles back onto one row per customer.
+    keyed = m.select(
+        "custkey", "monet",
+        F.explode(F.array(
+            F.struct(F.lit("r").alias("dim"),
+                     F.col("last_day").alias("val")),
+            F.struct(F.lit("f").alias("dim"), F.col("freq").alias("val")),
+            F.struct(F.lit("m").alias("dim"), F.col("monet").alias("val")),
+        )).alias("x"),
+    ).select("custkey", "monet", "x.dim", "x.val")
+    ranked = api.grouped_rank(
+        keyed, ["dim"], ["val", "custkey"], rank_col="rk", total_col="n"
     )
-    ranked = api.global_rank(
-        ranked.drop("n"), ["freq", "custkey"], rank_col="f_rank", total_col="n"
-    )
-    ranked = api.global_rank(
-        ranked.drop("n"), ["monet", "custkey"], rank_col="m_rank",
-        total_col="n",
-    )
+    q = (F.floor((F.col("rk") - 1) * 4 / F.col("n")) + 1).cast("bigint")
 
-    def quart(rank: str) -> F.Column:
-        return (
-            F.floor((F.col(rank) - 1) * 4 / F.col("n")) + 1
-        ).cast("bigint")
+    def dimq(d: str) -> F.Column:
+        return F.max(F.when(F.col("dim") == d, q)).alias(f"{d}_q")
 
     return (
-        ranked.select(
-            quart("r_rank").alias("r_q"),
-            quart("f_rank").alias("f_q"),
-            quart("m_rank").alias("m_q"),
-            "monet",
-        )
+        ranked.groupBy("custkey")
+        .agg(dimq("r"), dimq("f"), dimq("m"), F.max("monet").alias("monet"))
         .groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

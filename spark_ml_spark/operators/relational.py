@@ -1908,8 +1908,9 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins its own column and is useless for the other; z-order stays
     tight on BOTH.
 
-    Scale shape: file assignment uses ``api.global_rank`` (range
-    repartition + two-phase offset — the exact dataflow of the
+    Scale shape: file assignment uses ``api.grouped_rank`` over the
+    exploded (layout, sort-key) rows — ONE range repartition +
+    two-phase offset for all three layouts (the exact dataflow of the
     ``repartitionByRange().sortWithinPartitions()`` production write,
     and rank over a total order is invariant to partitioner sampling,
     so results are deterministic); per-file stats are one
@@ -1917,7 +1918,7 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final report is |layouts|·|files| rows folding to |layouts|.
     Bounds ride a 1-row broadcast. Everything integer, rounded integer
     division for the ppm spans."""
-    from spark_ml_spark.api import global_rank
+    from spark_ml_spark.api import grouped_rank
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
@@ -1944,6 +1945,9 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).isin("0", "1", "2")
     )
+    # two consumers (the bounds aggregate and the layout explode below)
+    # — persist the 4-column sample once
+    li = li.persist()
     b = li.agg(
         F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
         F.min("l_suppkey").alias("mins"), F.max("l_suppkey").alias("maxs"),
@@ -1963,38 +1967,65 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = z.bitwiseOR(
             F.shiftleft(F.shiftright("ny", i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
-    # three layout rankings (each with its own range-sampling pass) read
-    # this subtree — persist it once or the scan+normalize+interleave
-    # recomputes ~6× (measured 35 s → ~12 s at sf0.1); the bench harness
-    # clears cache between queries
-    zdf = n.withColumn("zval", z).persist()
-    layouts = {
-        "natural": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
-        "sorted_part": ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"],
-        "zorder": ["zval", "l_partkey", "l_suppkey", "l_orderkey",
-                   "l_linenumber"],
-    }
-    per_file = None
-    for name, order in layouts.items():
-        ranked = global_rank(zdf, order)
-        files = (
-            ranked.select(
-                F.lit(name).alias("layout"),
-                F.expr(
-                    f"(global_rank - 1) * {_SKIP_FILES} DIV n_total"
-                ).alias("f"),
-                "l_partkey",
-                "l_suppkey",
-            )
-            .groupBy("layout", "f")
-            .agg(
-                F.min("l_partkey").alias("fp_min"),
-                F.max("l_partkey").alias("fp_max"),
-                F.min("l_suppkey").alias("fs_min"),
-                F.max("l_suppkey").alias("fs_max"),
-            )
+    # ONE rank machine for all three layouts (r12 optimization, guide
+    # §2.4): the former per-layout global_rank ran three independent
+    # range exchanges (each with its own sampling pass, persist, window
+    # and offsets join) over the same sampled rows. Instead, explode
+    # each row into its three (layout, k1..k5) sort-key tuples — a pure
+    # in-row projection, no shuffle — and rank once with grouped_rank
+    # over ``layout``: within a layout the padded key tuple induces the
+    # exact same total order as the per-layout sort columns did, so
+    # every rank (and file assignment) is bit-identical, through one
+    # range exchange over 3x the narrow rows instead of three machines.
+    zdf = n.withColumn("zval", z)
+
+    def b64(c: str) -> F.Column:
+        return F.col(c).cast("bigint")
+
+    zero = F.lit(0).cast("bigint")
+    lay = F.explode(F.array(
+        F.struct(F.lit("natural").alias("layout"),
+                 b64("l_orderkey").alias("k1"),
+                 b64("l_linenumber").alias("k2"),
+                 b64("l_partkey").alias("k3"),
+                 b64("l_suppkey").alias("k4"),
+                 zero.alias("k5")),
+        F.struct(F.lit("sorted_part").alias("layout"),
+                 b64("l_partkey").alias("k1"),
+                 b64("l_suppkey").alias("k2"),
+                 b64("l_orderkey").alias("k3"),
+                 b64("l_linenumber").alias("k4"),
+                 zero.alias("k5")),
+        F.struct(F.lit("zorder").alias("layout"),
+                 b64("zval").alias("k1"),
+                 b64("l_partkey").alias("k2"),
+                 b64("l_suppkey").alias("k3"),
+                 b64("l_orderkey").alias("k4"),
+                 b64("l_linenumber").alias("k5")),
+    )).alias("L")
+    keyed = zdf.select(lay, "l_partkey", "l_suppkey").select(
+        "L.layout", "L.k1", "L.k2", "L.k3", "L.k4", "L.k5",
+        "l_partkey", "l_suppkey",
+    )
+    ranked = grouped_rank(
+        keyed, ["layout"], ["k1", "k2", "k3", "k4", "k5"],
+        rank_col="grank", total_col="n_total",
+    )
+    per_file = (
+        ranked.select(
+            "layout",
+            F.expr(f"(grank - 1) * {_SKIP_FILES} DIV n_total").alias("f"),
+            "l_partkey",
+            "l_suppkey",
         )
-        per_file = files if per_file is None else per_file.unionAll(files)
+        .groupBy("layout", "f")
+        .agg(
+            F.min("l_partkey").alias("fp_min"),
+            F.max("l_partkey").alias("fp_max"),
+            F.min("l_suppkey").alias("fs_min"),
+            F.max("l_suppkey").alias("fs_max"),
+        )
+    )
     return (
         per_file.crossJoin(F.broadcast(b))
         .groupBy("layout", "minp", "maxp", "mins", "maxs")
