@@ -407,7 +407,14 @@ def connected_components(
     und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     und = und.union(und.select(F.col("_d").alias("_s"),
                                F.col("_s").alias("_d")))
-    und = und.distinct().localCheckpoint(eager=True)
+    # hash-partition the checkpointed edge list on the per-round JOIN
+    # key (r12 optimization): the checkpoint preserves partitioning, so
+    # every round's und⋈labels join reads the edges in place instead of
+    # re-exchanging them each round (guide §2.4; the q_bfs_levels /
+    # q_shortest_path_k pattern). Labels are independent of
+    # partitioning, so results are unchanged.
+    npart = _resolve_partitions(edges, None)
+    und = und.distinct().repartition(npart, "_d").localCheckpoint(eager=True)
 
     labels = (
         und.select(F.col("_s").alias("node")).distinct()
