@@ -72,6 +72,45 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_edges_sym(spark: SparkSession, sf_dir: str,
+                    npart: int) -> DataFrame:
+    """BOTH orientations of the distinct co-order part edges,
+    hash-partitioned on ``src``, through ONE full-edge exchange.
+
+    The r12 shape for the iterative consumers (BFS / shortest-path) was
+    ``_part_edges`` (distinct → Exchange on (a,b)) → union of both
+    orientations → ``repartition(src)`` (a second full-edge Exchange).
+    Fused (r13, VERDICT r12 next-#1): the per-order C(k,2) pairs are
+    generated in BOTH orientations in-row from the sorted basket array
+    (still C(k,2)-bounded per row — k is the ~4-line basket size), ONE
+    ``repartition(npart, src)`` moves them, and the dedup runs IN PLACE:
+    ``dropDuplicates([src, dst])`` needs clustering by a subset of its
+    keys, which hashpartitioning(src) already satisfies, so Catalyst
+    inserts NO second exchange. Same row set as the old
+    distinct→union→repartition chain (both are "all distinct ordered
+    co-order pairs"), same output partitioning (src) — one full-edge
+    exchange instead of two, and fewer total shuffled rows (the raw
+    doubled pair stream ~2.4·|E| vs |pairs|+2·|E| ≈ 3.1·|E| before)."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs_sym = F.expr(
+        "flatten(transform(ps, (x, i) -> concat("
+        "transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(x AS src, y AS dst)),"
+        "transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(y AS src, x AS dst)))))"
+    )
+    return (
+        baskets.select(F.explode(pairs_sym).alias("p"))
+        .select("p.src", "p.dst")
+        .repartition(npart, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 @query("q_degree_histogram", oracle=rf"""
 WITH e AS ({_EDGES_SQL}),
 deg AS (

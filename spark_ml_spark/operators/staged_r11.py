@@ -25,10 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from spark_ml_spark.api import global_rank
+from spark_ml_spark.api import _resolve_partitions, global_rank
 from spark_ml_spark.io.sources import load
 from spark_ml_spark.operators.geo import _with_coords, _coord_exprs_sql
-from spark_ml_spark.operators.graph_metrics import _EDGES_SQL, _part_edges
+from spark_ml_spark.operators.graph_metrics import _EDGES_SQL, _part_edges_sym
 from spark_ml_spark.operators.sketches import _hex_int_sql
 
 #: one day in microseconds — the hourly->daily rollup bucket arithmetic
@@ -205,7 +205,7 @@ ORDER BY p.p_brand
 
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS levels (REOPENING r11 #3) over the co-order
-    part graph (``graph_metrics._part_edges`` — parts are nodes, an
+    part graph (``graph_metrics._part_edges_sym`` — parts are nodes, an
     edge joins two parts that share an order): seed set = every node
     whose key divides by ``_BFS_SEED_MOD`` (97), frontier expansion
     for ``_BFS_K`` (3) fixed levels, emitting each reached node's
@@ -213,8 +213,9 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     level k+1 = (frontier ⋈ edges) minus visited, deduplicated — true
     BFS, each node expanded exactly once.
 
-    Scale shape: the edge list is built once (one shuffle — see
-    ``_part_edges``'s in-row pair generation) and persisted across the
+    Scale shape: the edge list is built once (ONE shuffle — see
+    ``_part_edges_sym``'s fused in-row double-orientation pair
+    generation, r13) and persisted across the
     3 iterations; each iteration is one shuffle join of an id-only
     frontier against the edges plus one anti-join against the id-only
     visited set. EVERY level's frontier is persisted too: each ``nxt``
@@ -231,22 +232,26 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites ``Data_transform.py`` passim (no graph surface in the
     reference)."""
-    e = _part_edges(spark, sf_dir)
-    # hash-partition the cached edge table on the per-level JOIN key
-    # (r12 optimization): InMemoryRelation preserves outputPartitioning,
-    # so each of the K frontier⋈edges joins reads the cache in place
-    # instead of re-exchanging the full directed edge list every level
-    # (guide §2.4 "remove shuffles outright" — 3 edge-sized exchanges
-    # gone; measured 6.35 → 5.20 s isolated at sf0.1, results
-    # bit-identical). Partition count follows the session conf, not a
-    # local constant.
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = (
-        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .repartition(npart, "src")
-        .persist()
-    )
+    # fused symmetric edge build (r13, VERDICT r12 next-#1): both
+    # orientations generated in-row, ONE repartition(src) exchange,
+    # dedup in place — one fewer full-edge exchange than the r12
+    # distinct→union→repartition chain (see _part_edges_sym). The
+    # cache stays hash-partitioned on the per-level JOIN key, so each
+    # of the K frontier⋈edges joins reads it in place (guide §2.4;
+    # r12). Partition count follows the session conf via
+    # api._resolve_partitions (ADVICE r12: guard non-numeric conf),
+    # not a local constant.
+    npart = _resolve_partitions(load(spark, sf_dir, "lineitem"), None)
+    edges = _part_edges_sym(spark, sf_dir, npart).persist()
+    # eagerly materialize the edge cache BEFORE the levels are planned
+    # (r13): an unmaterialized cache is an AdaptiveSparkPlan whose
+    # output partitioning is UNKNOWN at planning time, so a
+    # frontier⋈edges join that outgrows broadcast would bake in an
+    # ENSURE_REQUIREMENTS re-exchange of the full edge list per level
+    # (the q_shortest_path_k finding — its plan showed exactly that).
+    # One count() job pins hashpartitioning(src) as a fact of the
+    # cached data; the K expansion joins then read it in place.
+    edges.count()
     seeds = (
         edges.select(F.col("src").alias("node")).distinct()
         .where(F.col("node") % _BFS_SEED_MOD == 0)
